@@ -1,0 +1,42 @@
+"""lambdapic_tpu — a TPU-native particle-in-cell framework.
+
+Ground-up rebuild of the capabilities of xsgeng/lambdapic (callback-centric
+laser-plasma PIC: Yee FDTD + CPML, quadratic gather, Boris push, Esirkepov
+deposition, QED, collisions, moving window, HDF5 diagnostics) designed for
+JAX/XLA on TPU: one jitted step over a globally sharded SimulationState,
+shard_map + ppermute halo exchange instead of MPI, fixed-capacity SoA
+particles, counter-based RNG.
+
+Public API mirrors the reference (src/lambdapic/__init__.py:1-25) so user
+scripts port with the same species/laser/grid setup.
+"""
+from .constants import c, e, epsilon_0, h, hbar, k_B, m_e, m_p, mu_0, pi
+from .core.species import Electron, Photon, Positron, Proton, Species
+from .io.hdf5 import (ExtractSpeciesDensity, SaveFieldsToHDF5,
+                      SaveParticlesToHDF5, SaveSpeciesDensityToHDF5)
+from .io.plot import PlotFields
+from .io.restart import RestartDump
+from .io.utils import (LoadParticles, SetMomentum, SetMomentumAndTemperature,
+                       SetTemperature, get_fields)
+from .models.laser import (GaussianLaser, GaussianLaser2D, GaussianLaser3D,
+                           Laser, SimpleLaser, SimpleLaser2D, SimpleLaser3D)
+from .models.moving_window import MovingWindow
+from .simulation.callbacks import Callback, JaxCallback, callback
+from .simulation.simulation import (Simulation, Simulation2D, Simulation3D,
+                                    SimulationConfig)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Simulation", "Simulation2D", "Simulation3D", "SimulationConfig",
+    "Species", "Electron", "Positron", "Proton", "Photon",
+    "Laser", "SimpleLaser", "SimpleLaser2D", "SimpleLaser3D",
+    "GaussianLaser", "GaussianLaser2D", "GaussianLaser3D",
+    "MovingWindow",
+    "SaveFieldsToHDF5", "SaveSpeciesDensityToHDF5", "SaveParticlesToHDF5",
+    "ExtractSpeciesDensity", "PlotFields", "RestartDump",
+    "SetMomentum", "SetTemperature", "SetMomentumAndTemperature",
+    "LoadParticles", "get_fields",
+    "callback", "Callback", "JaxCallback",
+    "c", "e", "m_e", "m_p", "epsilon_0", "mu_0", "pi", "h", "hbar", "k_B",
+]

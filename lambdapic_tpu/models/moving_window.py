@@ -1,0 +1,188 @@
+"""Moving window along +x.
+
+Port of the reference MovingWindow (callback/utils.py:471-840) with a
+TPU-native shift algorithm: instead of recycling whole patch columns and
+rebuilding neighbor topology, the window advances one *cell* at a time via a
+jitted roll of the sharded global arrays (StepBuilder.make_window_shift).
+Semantics kept from the reference:
+
+- stage "start"; velocity constant or f(time); start_time defaults to Lx/c
+- the x PML is removed when the window starts (lasers auto-disable,
+  reference laser.py:119-127)
+- new cells are filled from the species density/ppc profiles; injection can
+  be disabled or stopped at stop_inject_time
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+from ..constants import c
+from ..core.species import Species
+from ..simulation.callbacks import Callback
+from ..utils.logger import logger
+
+
+class MovingWindow(Callback):
+    stage = "start"
+
+    def __init__(self, velocity: Union[float, Callable[[float], float]] = c,
+                 start_time: Optional[float] = None,
+                 inject_particles: bool = True,
+                 stop_inject_time: Optional[float] = None):
+        super().__init__(interval=1, stage="start")
+        self.velocity = velocity
+        self.start_time = start_time
+        self.inject_particles = inject_particles
+        self.stop_inject_time = stop_inject_time
+        self.cell_this_shift: Optional[float] = None
+        self.num_shifts = 0
+        self._shift_fn = None
+        self._k_inject: Optional[list] = None
+
+    def _call(self, sim) -> None:
+        if self.start_time is None:
+            self.start_time = sim.Lx / c
+        if self.cell_this_shift is None:
+            # reference quirk: first active call shifts immediately
+            # (utils.py:534-540 initializes the accumulator full)
+            self.cell_this_shift = sim.dx
+
+        if sim.time < self.start_time:
+            return
+
+        if self.num_shifts == 0:
+            logger.info("MovingWindow starts: removing x PML")
+            sim._disable_x_pml()
+
+        v = self.velocity(sim.time) if callable(self.velocity) \
+            else self.velocity
+        self.cell_this_shift += v * sim.dt
+        self.num_shifts += 1
+
+        while self.cell_this_shift >= sim.dx:
+            self._shift_once(sim)
+            self.cell_this_shift -= sim.dx
+        if self.cell_this_shift <= -sim.dx:
+            raise NotImplementedError(
+                "backward moving window is not implemented yet")
+
+    # ------------------------------------------------------------------
+    def _estimate_k(self, sim) -> list:
+        """Static injection-buffer size per species: max particles a
+        rightmost-column device can receive per shift."""
+        ks = []
+        for sp in sim.species:
+            if sp.density is None or (isinstance(sp.ppc, int) and sp.ppc == 0):
+                ks.append(128)
+                continue
+            ppc_fn = Species.vectorized_profile(sp.ppc, sim.dimension)
+            ny_loc = sim.grid.ny_loc
+            nz_loc = sim.grid.nz_loc if sim.dimension == 3 else 1
+            # bound ppc by sampling the profile over the domain face
+            ys = np.arange(sim.ny) * sim.dy
+            if sim.dimension == 2:
+                ppc_max = ppc_fn(np.zeros_like(ys), ys).max()
+            else:
+                zs = np.arange(sim.nz) * sim.dz
+                Y, Z = np.meshgrid(ys, zs, indexing="ij")
+                ppc_max = ppc_fn(np.zeros_like(Y), Y, Z).max()
+            k = int(np.ceil(max(ppc_max, 1) * ny_loc * nz_loc * 1.25))
+            ks.append(int(np.ceil(k / 128) * 128))
+        return ks
+
+    def _column_particles(self, sim, ispec: int, k: int):
+        """Host-side fill of the incoming column (global x index
+        nx-1+offset+1 after the shift) for one species; returns
+        mesh-shaped buffers."""
+        grid = sim.grid
+        sp = sim.species[ispec]
+        mshape = grid.mesh_shape
+        vals = {a: np.zeros(mshape + (k,), dtype=np.float64)
+                for a in ("x", "y", "z", "w", "ux", "uy", "uz", "inv_gamma")
+                if a in sp.attrs()}
+        vals["inv_gamma"][...] = 1.0
+        n = np.zeros(mshape, dtype=np.int32)
+        inject = (self.inject_particles and sp.density is not None
+                  and not (isinstance(sp.ppc, int) and sp.ppc == 0))
+        if self.stop_inject_time is not None and \
+                sim.time >= self.stop_inject_time:
+            inject = False
+        if not inject:
+            return {"vals": vals, "n": n}
+
+        dens_fn = Species.vectorized_profile(sp.density, grid.dimension)
+        ppc_fn = Species.vectorized_profile(sp.ppc, grid.dimension)
+        mom_fns = [None if prof is None
+                   else Species.vectorized_profile(prof, grid.dimension)
+                   for prof in (sp.momentum or (None, None, None))]
+        dV = grid.dx * grid.dy * (grid.dz if grid.dimension == 3 else 1.0)
+        x_glob = (sim.nx + sim._window_offset) * grid.dx
+        npx = grid.npatch_x
+        rng = np.random.default_rng(
+            [sim._config.random_seed or 0, 23, ispec, sim._window_offset])
+
+        for dev in np.ndindex(mshape):
+            if dev[0] != npx - 1:
+                continue
+            ys = (dev[1] * grid.ny_loc + np.arange(grid.ny_loc)) * grid.dy
+            if grid.dimension == 2:
+                coords = (np.full_like(ys, x_glob), ys)
+                cell_idx = (np.arange(grid.ny_loc),)
+            else:
+                zs = (dev[2] * grid.nz_loc + np.arange(grid.nz_loc)) * grid.dz
+                Y, Z = np.meshgrid(ys, zs, indexing="ij")
+                coords = (np.full_like(Y, x_glob), Y, Z)
+                cell_idx = np.meshgrid(np.arange(grid.ny_loc),
+                                       np.arange(grid.nz_loc), indexing="ij")
+            dens = dens_fn(*coords)
+            ppc = ppc_fn(*coords).astype(np.int64)
+            n_per_cell = np.where(dens > sp.density_min,
+                                  np.maximum(ppc, 0), 0)
+            total = int(n_per_cell.sum())
+            if total == 0:
+                continue
+            if total > k:
+                logger.warning(
+                    f"moving window: injection buffer overflow for species "
+                    f"{sp.name} ({total} > {k}); truncating")
+                total = k
+            flat_n = n_per_cell.reshape(-1)
+            cell_ids = np.repeat(np.arange(flat_n.size), flat_n)[:total]
+            w = (dens.reshape(-1)[cell_ids] * dV
+                 / np.maximum(ppc.reshape(-1)[cell_ids], 1))
+            vals["w"][dev][:total] = w
+            vals["x"][dev][:total] = grid.nx_loc - 1 + rng.uniform(
+                -0.5, 0.5, total)
+            cy = np.unravel_index(cell_ids, n_per_cell.shape)
+            y_loc = cy[0] + rng.uniform(-0.5, 0.5, total)
+            vals["y"][dev][:total] = y_loc
+            pos_si = [np.full(total, x_glob),
+                      (dev[1] * grid.ny_loc + y_loc) * grid.dy]
+            if grid.dimension == 3:
+                z_loc = cy[1] + rng.uniform(-0.5, 0.5, total)
+                vals["z"][dev][:total] = z_loc
+                pos_si.append((dev[2] * grid.nz_loc + z_loc) * grid.dz)
+            u3 = []
+            for fn in mom_fns:
+                u3.append(np.zeros(total) if fn is None
+                          else fn(*pos_si[: grid.dimension]))
+            vals["ux"][dev][:total] = u3[0]
+            vals["uy"][dev][:total] = u3[1]
+            vals["uz"][dev][:total] = u3[2]
+            vals["inv_gamma"][dev][:total] = 1.0 / np.sqrt(
+                1 + u3[0]**2 + u3[1]**2 + u3[2]**2)
+            n[dev] = total
+        return {"vals": vals, "n": n}
+
+    def _shift_once(self, sim) -> None:
+        if self._shift_fn is None:
+            self._shift_fn = sim._builder.make_window_shift()
+            self._k_inject = self._estimate_k(sim)
+        injections = []
+        for ispec in range(len(sim.species)):
+            injections.append(self._column_particles(
+                sim, ispec, self._k_inject[ispec]))
+        sim.state = self._shift_fn(sim.state, injections)
+        sim._window_offset += 1

@@ -1,0 +1,536 @@
+"""Simulation drivers (2D and 3D).
+
+TPU-native rebuild of the reference orchestration layer
+(simulation/simulation.py:50-1509). The public surface mirrors the
+reference: construct with grid/boundary/timing parameters, add Species,
+call run() with callbacks. Internally the per-step stage sequence is
+compiled into jitted segments over a globally sharded SimulationState
+(see simulation/step.py); host callbacks run between segments.
+
+Deliberate TPU divergences (SURVEY.md §5.8, §7):
+- patches == devices: npatch_x/npatch_y name the device mesh; auto-patching
+  picks one patch per available chip (parallel/mesh.py::auto_patches).
+- No MPI manager / METIS / load balancer: XLA SPMD + static sharding.
+- Particle arrays have fixed capacity with host-side re-capacity between
+  steps instead of extend()/prune().
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Literal, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, Field, model_validator
+
+from ..constants import c as c_light
+from ..core.grid import Grid
+from ..core.species import Species, _ALL_SPECIES
+from ..core.state import (FieldsState, ParticlesState, SimulationState,
+                          particles_from_numpy, zeros_fields)
+from ..ops.cpml import CPMLCoeffs, CPMLParams, build_cpml
+from ..parallel import mesh as pmesh
+from ..utils.logger import configure_logger, logger
+from ..utils.timer import Timer, set_timer_enabled
+from ..utils.progress import ProgressBar
+from .callbacks import (DEFAULT_STAGE, HOST_STAGES, STAGES, JaxCallback,
+                        SimulationCallbacks)
+from .initfill import count_macro_particles, fill_species, pick_capacity
+from .step import SpeciesStatic, StepBuilder
+
+
+class SimulationConfig(BaseModel):
+    """Validation model (reference simulation.py:50-100) + TPU extras."""
+
+    nx: int = Field(..., gt=0)
+    ny: int = Field(..., gt=0)
+    dx: float = Field(..., gt=0)
+    dy: float = Field(..., gt=0)
+    npatch_x: int = Field(..., ge=0)
+    npatch_y: int = Field(..., ge=0)
+    nsteps: Optional[int] = Field(None, gt=0)
+    sim_time: Optional[float] = Field(None, gt=0)
+    dt_cfl: float = Field(0.95, gt=0, le=1)
+    n_guard: int = Field(3, gt=0)
+    cpml_thickness: int = Field(6, gt=0)
+    log_file: Optional[str] = None
+    truncate_log: bool = True
+    enable_timer: bool = False
+    boundary_conditions: Dict[str, str] = Field(
+        default_factory=lambda: {"xmin": "pml", "xmax": "pml",
+                                 "ymin": "pml", "ymax": "pml"})
+    random_seed: Optional[int] = None
+    # TPU-native extras
+    precision: Literal["single", "double"] = "single"
+    particle_capacity_factor: float = Field(2.0, gt=1.0)
+    migration_buffer: Optional[int] = Field(None)
+
+    @model_validator(mode="after")
+    def validate_mutual_exclusion(self):
+        if self.nsteps is not None and self.sim_time is not None:
+            raise ValueError(
+                "Cannot specify both nsteps and sim_time. Use only one.")
+        return self
+
+
+class Simulation3DConfig(SimulationConfig):
+    nz: int = Field(..., gt=0)
+    dz: float = Field(..., gt=0)
+    npatch_z: int = Field(..., ge=0)
+    boundary_conditions: Dict[str, str] = Field(
+        default_factory=lambda: {"xmin": "pml", "xmax": "pml",
+                                 "ymin": "pml", "ymax": "pml",
+                                 "zmin": "pml", "zmax": "pml"})
+
+
+@dataclass
+class Simulation:
+    """2D PIC simulation (reference simulation.py:118-1216).
+
+    Parameters mirror the reference; see class docstring there. TPU extras:
+        precision: 'single' (default) or 'double' (requires jax x64)
+        particle_capacity_factor: headroom over the initial per-device count
+        migration_buffer: per-direction migration buffer size (auto if None)
+    """
+
+    nx: int
+    ny: int
+    dx: float
+    dy: float
+    npatch_x: int = 0
+    npatch_y: int = 0
+    nsteps: Optional[int] = None
+    sim_time: Optional[float] = None
+    dt_cfl: float = 0.95
+    n_guard: int = 3
+    boundary_conditions: Optional[Dict[str, str]] = None
+    cpml_thickness: int = 6
+    log_file: Optional[str] = None
+    truncate_log: bool = True
+    enable_timer: bool = False
+    random_seed: Optional[int] = None
+    precision: str = "single"
+    particle_capacity_factor: float = 2.0
+    migration_buffer: Optional[int] = None
+
+    dimension = 2
+
+    def __post_init__(self):
+        if self.boundary_conditions is None:
+            self.boundary_conditions = {"xmin": "pml", "xmax": "pml",
+                                        "ymin": "pml", "ymax": "pml"}
+        cfgcls = SimulationConfig if self.dimension == 2 else Simulation3DConfig
+        extra = {} if self.dimension == 2 else dict(
+            nz=self.nz, dz=self.dz, npatch_z=self.npatch_z)
+        cfg = cfgcls(
+            nx=self.nx, ny=self.ny, dx=self.dx, dy=self.dy,
+            npatch_x=self.npatch_x, npatch_y=self.npatch_y,
+            nsteps=self.nsteps, sim_time=self.sim_time, dt_cfl=self.dt_cfl,
+            n_guard=self.n_guard, cpml_thickness=self.cpml_thickness,
+            log_file=self.log_file, truncate_log=self.truncate_log,
+            enable_timer=self.enable_timer,
+            boundary_conditions=self.boundary_conditions,
+            random_seed=self.random_seed, precision=self.precision,
+            particle_capacity_factor=self.particle_capacity_factor,
+            migration_buffer=self.migration_buffer, **extra)
+        self._config = cfg
+
+        # dt from CFL (reference simulation.py:219)
+        inv2 = self.dx**-2 + self.dy**-2
+        if self.dimension == 3:
+            inv2 += self.dz**-2
+        self.dt = cfg.dt_cfl * inv2**-0.5 / c_light
+
+        configure_logger(sink=cfg.log_file,
+                         truncate_existing=cfg.truncate_log,
+                         enable_timer=cfg.enable_timer)
+        set_timer_enabled(cfg.enable_timer)
+
+        self.species: List[Species] = []
+        self.itime = 0
+        self.time = 0.0
+        self.initialized = False
+        self.state: Optional[SimulationState] = None
+        self._xmin_pml_removed = False
+        self._collision_groups = None
+        self._base_key = jax.random.PRNGKey(
+            cfg.random_seed if cfg.random_seed is not None else 0)
+        self._recap_interval = 20
+        self._window_offset = 0   # moving-window cells shifted (host int)
+        logger.info("Simulation instance created")
+
+    # ------------------------------------------------------------------
+    @property
+    def dtype(self):
+        if self._config.precision == "double":
+            if not jax.config.jax_enable_x64:
+                raise RuntimeError(
+                    "precision='double' requires jax_enable_x64; set "
+                    "jax.config.update('jax_enable_x64', True) before use")
+            return jnp.float64
+        return jnp.float32
+
+    @property
+    def Lx(self):
+        return self.nx * self.dx
+
+    @property
+    def Ly(self):
+        return self.ny * self.dy
+
+    @property
+    def nx_per_patch(self):
+        return self.grid.nx_loc
+
+    @property
+    def ny_per_patch(self):
+        return self.grid.ny_loc
+
+    # ------------------------------------------------------------------
+    def add_species(self, species: Sequence[Species]):
+        for s in species:
+            if not isinstance(s, Species):
+                raise TypeError(f"not a Species: {s!r}")
+            if s not in self.species:
+                s.ispec = len(self.species)
+                self.species.append(s)
+        return self
+
+    def _add_default_species_if_empty(self):
+        """Auto-register user-created species (reference species.py:112,
+        simulation.py _add_default_species_if_empty)."""
+        if self.species:
+            return
+        compatible = [s for s in _ALL_SPECIES if s.is_compatible(self.dimension)]
+        if compatible:
+            logger.info(
+                f"Auto-adding {len(compatible)} species created in script: "
+                f"{[s.name for s in compatible]}")
+            self.add_species(compatible)
+
+    def add_collision(self, groups):
+        self._collision_groups = groups
+        logger.warning("collisions: not implemented yet in this build")
+
+    # ------------------------------------------------------------------
+    def _make_grid(self) -> Grid:
+        extra = {} if self.dimension == 2 else dict(
+            nz=self.nz, dz=self.dz, npatch_z=self.npatch_z)
+        g = Grid(
+            dimension=self.dimension, nx=self.nx, ny=self.ny,
+            dx=self.dx, dy=self.dy, npatch_x=self.npatch_x,
+            npatch_y=self.npatch_y, n_guard=self.n_guard,
+            cpml_thickness=self.cpml_thickness,
+            boundary_conditions=tuple(sorted(self.boundary_conditions.items())),
+            **extra)
+        g.validate()
+        return g
+
+    def _auto_patch(self):
+        if self.dimension == 2:
+            if self.npatch_x == 0 or self.npatch_y == 0:
+                self.npatch_x, self.npatch_y = pmesh.auto_patches(
+                    self.nx, self.ny)
+                logger.info(
+                    f"Auto patches: {self.npatch_x} x {self.npatch_y}")
+        else:
+            if 0 in (self.npatch_x, self.npatch_y, self.npatch_z):
+                self.npatch_x, self.npatch_y, self.npatch_z = \
+                    pmesh.auto_patches(self.nx, self.ny, self.nz)
+                logger.info(f"Auto patches: {self.npatch_x} x "
+                            f"{self.npatch_y} x {self.npatch_z}")
+
+    def initialize(self, devices=None):
+        """Build grid, mesh, fields and particles (reference
+        simulation.py:284-423)."""
+        self._add_default_species_if_empty()
+        self._auto_patch()
+        self.grid = self._make_grid()
+        self.mesh = pmesh.make_mesh(self.grid, devices)
+        logger.info(f"Domain: {self.grid.shape} cells, mesh "
+                    f"{self.grid.mesh_shape}, dt={self.dt:.3e}s")
+
+        any_pml = any(v == "pml" for v in self.grid.bc.values())
+        self.cpml = build_cpml(self.grid, self.dt,
+                               CPMLParams(thickness=self.cpml_thickness)) \
+            if any_pml else None
+
+        dtype = self.dtype
+        fields = zeros_fields(self.grid, dtype=dtype, with_pml=any_pml)
+        fsh = pmesh.field_sharding(self.mesh)
+        fields = jax.tree.map(lambda a: jax.device_put(a, fsh), fields)
+
+        seed = self._config.random_seed if self._config.random_seed is not None else 0
+        parts = []
+        self._species_static = []
+        psh = pmesh.particle_sharding(self.mesh)
+        ssh = pmesh.scalar_sharding(self.mesh)
+        for ispec, sp in enumerate(self.species):
+            counts = count_macro_particles(self.grid, sp)
+            cap = pick_capacity(counts, self._config.particle_capacity_factor)
+            arrays, counts = fill_species(self.grid, sp, seed, ispec, cap)
+            pst = particles_from_numpy(self.grid, sp, arrays, counts, cap,
+                                       dtype=dtype)
+            pst = ParticlesState(
+                data={k: jax.device_put(v, psh) for k, v in pst.data.items()},
+                alive=jax.device_put(pst.alive, psh),
+                next_id=jax.device_put(pst.next_id, ssh),
+                overflow=jax.device_put(pst.overflow, ssh))
+            parts.append(pst)
+            buf = self._config.migration_buffer
+            if buf is None:
+                per_axis = max(self.grid.nx_loc, self.grid.ny_loc)
+                buf = max(256, int(8 * cap / max(per_axis, 1)))
+                buf = int(np.ceil(buf / 128) * 128)
+            self._species_static.append(SpeciesStatic(
+                name=sp.name, q=sp.q, m=sp.m, pusher=sp.pusher, cap=cap,
+                migration_buf=min(buf, cap), has_qed=sp.has_qed))
+            logger.info(f"Species {sp.name}: {int(counts.sum()):,} macro "
+                        f"particles, capacity {cap}/device, migration buffer "
+                        f"{min(buf, cap)}")
+
+        self.state = SimulationState(fields=fields, particles=tuple(parts))
+        self.initialized = True
+        logger.info("Initialization complete")
+
+    def _disable_x_pml(self):
+        """Remove the x-axis PML (moving-window start; reference
+        callback/utils.py:543-556). Recompiles the step without the x CPML
+        profiles; psi_x arrays stay in the state pytree but become inert."""
+        if self._xmin_pml_removed:
+            return
+        self._xmin_pml_removed = True
+        if self.cpml is not None and "x" in self.cpml.profiles:
+            profiles = dict(self.cpml.profiles)
+            profiles.pop("x")
+            self.cpml = CPMLCoeffs(profiles=profiles)
+        # zero the now-inert psi_x arrays
+        f = self.state.fields
+        psi = dict(f.psi)
+        for k in list(psi):
+            if k.endswith("_x"):
+                psi[k] = jnp.zeros_like(psi[k])
+        self.state = self.state.replace(fields=f.replace(psi=psi))
+        self._build_stepper(getattr(self, "_active_lasers", []))
+
+    # ------------------------------------------------------------------
+    def _build_stepper(self, lasers: Sequence[JaxCallback]):
+        builder = StepBuilder(
+            grid=self.grid, mesh=self.mesh, cpml=self.cpml, dt=self.dt,
+            species=self._species_static, lasers=lasers)
+        self._builder = builder
+        self._rho_fns = {}
+        (self._full_step, self._seg1, self._seg2, self._seg3) = \
+            builder.compile()
+
+    def _scalars(self, lasers) -> dict:
+        sc = {"key": jax.random.fold_in(self._base_key, self.itime)}
+        for i, laser in enumerate(lasers):
+            sc[f"laser{i}"] = laser.host_scalars(self)
+        return sc
+
+    def _handle_nsteps(self, nsteps, sim_time):
+        """(reference simulation.py:1190-1210)"""
+        if nsteps is not None and sim_time is not None:
+            raise ValueError("Cannot specify both nsteps and sim_time")
+        if nsteps is None and sim_time is None:
+            if self.nsteps is not None:
+                return self.nsteps
+            if self.sim_time is not None:
+                return int(self.sim_time / self.dt)
+            raise ValueError("Must provide either nsteps or sim_time")
+        if sim_time is not None:
+            return int(sim_time / self.dt)
+        return nsteps + self.itime
+
+    def run(self, nsteps: Optional[int] = None,
+            sim_time: Optional[float] = None,
+            callbacks: Optional[Sequence] = None,
+            stop_callback=None):
+        """Main loop (reference simulation.py:858-1141)."""
+        callbacks = list(callbacks or [])
+        if not self.initialized:
+            self.initialize()
+
+        lasers = [cb for cb in callbacks
+                  if getattr(cb, "is_jax_callback", False)]
+        self._active_lasers = lasers
+        cbs = SimulationCallbacks(callbacks, self)
+        self._build_stepper(lasers)
+
+        nsteps_total = self._handle_nsteps(nsteps, sim_time)
+
+        cbs.run("init")
+
+        pbar = ProgressBar(total=nsteps_total, initial=self.itime,
+                           desc="Progress")
+        try:
+            for self.istep in range(self.itime, nsteps_total):
+                pbar.update(1)
+                with Timer("Callbacks: start stage"):
+                    cbs.run("start")
+
+                sc = self._scalars(lasers)
+                inner_host = (cbs.due("maxwell_1")
+                              or cbs.due("current_deposition")
+                              or cbs.due("qed_create_particles"))
+                if not inner_host:
+                    with Timer("full step", sync=None):
+                        self.state = self._full_step(self.state, sc)
+                else:
+                    with Timer("fields 1"):
+                        self.state = self._seg1(self.state, sc)
+                    cbs.run("maxwell_1")
+                    with Timer("particles"):
+                        self.state = self._seg2(self.state, sc)
+                    cbs.run("current_deposition")
+                    cbs.run("qed_create_particles")
+                    with Timer("fields 2"):
+                        self.state = self._seg3(self.state, sc)
+
+                with Timer("Callbacks: maxwell_2 + end stage"):
+                    cbs.run("maxwell_2")
+                    cbs.run("end")
+
+                self.time += self.dt
+                self.itime += 1
+
+                if self.itime % self._recap_interval == 0:
+                    self._check_overflow()
+
+                if stop_callback is not None and stop_callback():
+                    pbar.close()
+                    return "stop by callback"
+        finally:
+            pbar.close()
+
+        jax.block_until_ready(self.state)
+        with Timer("Callbacks: final stage"):
+            cbs.run("final")
+
+    # ------------------------------------------------------------------
+    def _check_overflow(self):
+        for ispec, p in enumerate(self.state.particles):
+            ov = int(np.asarray(p.overflow).sum())
+            if ov > 0:
+                logger.warning(
+                    f"species {self.species[ispec].name}: {ov} particles "
+                    "lost to migration-buffer/capacity overflow — increase "
+                    "particle_capacity_factor or migration_buffer")
+
+    # -- data access for callbacks/diagnostics -------------------------
+    def get_field(self, name: str) -> np.ndarray:
+        """Assembled global field array on host (reference
+        callback/utils.py get_fields)."""
+        return np.asarray(getattr(self.state.fields, name))
+
+    def set_field(self, name: str, value: np.ndarray):
+        f = self.state.fields
+        sh = pmesh.field_sharding(self.mesh)
+        arr = jax.device_put(jnp.asarray(value, dtype=self.dtype), sh)
+        self.state = self.state.replace(
+            fields=f.replace(**{name: arr}))
+
+    def get_particles(self, ispec: int) -> Dict[str, np.ndarray]:
+        """Flattened host copies of alive particles of one species."""
+        p = self.state.particles[ispec]
+        alive = np.asarray(p.alive).reshape(-1)
+        out = {}
+        grid = self.grid
+        for k, v in p.data.items():
+            a = np.asarray(v)
+            if k in ("x", "y", "z")[: grid.dimension]:
+                # convert local cell units to global SI
+                ax = {"x": 0, "y": 1, "z": 2}[k]
+                nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[ax]
+                d = (grid.dx, grid.dy, grid.dz)[ax]
+                idx = np.arange(np.prod(grid.mesh_shape)).reshape(
+                    grid.mesh_shape)
+                dev_off = np.unravel_index(idx, grid.mesh_shape)[ax]
+                a = (a + dev_off[..., None] * nloc) * d
+                if k == "x":
+                    a = a + self._window_offset * grid.dx
+            out[k] = a.reshape(-1)[alive]
+        return out
+
+    def set_particles_global(self, ispec: int,
+                             coords_si: Dict[str, np.ndarray],
+                             attrs: Dict[str, np.ndarray]):
+        """Replace one species' population from globally-specified particles
+        (SI coordinates). Host-side analog of LoadParticles
+        (reference callback/utils.py:1051-1178)."""
+        import dataclasses
+
+        from .initfill import distribute_global_particles, pick_capacity
+        sp = self.species[ispec]
+        st = self._species_static[ispec]
+        arrays, counts, cap = distribute_global_particles(
+            self.grid, sp, coords_si, attrs, cap=None,
+            factor=self._config.particle_capacity_factor)
+        cap = max(cap, st.cap)
+        arrays, counts, cap = distribute_global_particles(
+            self.grid, sp, coords_si, attrs, cap=cap)
+        if cap != st.cap:
+            self._species_static[ispec] = dataclasses.replace(
+                st, cap=cap, migration_buf=min(st.migration_buf, cap))
+        pst = particles_from_numpy(self.grid, sp, arrays, counts, cap,
+                                   dtype=self.dtype)
+        psh = pmesh.particle_sharding(self.mesh)
+        ssh = pmesh.scalar_sharding(self.mesh)
+        pst = ParticlesState(
+            data={k: jax.device_put(v, psh) for k, v in pst.data.items()},
+            alive=jax.device_put(pst.alive, psh),
+            next_id=jax.device_put(pst.next_id, ssh),
+            overflow=jax.device_put(pst.overflow, ssh))
+        parts = list(self.state.particles)
+        parts[ispec] = pst
+        self.state = self.state.replace(particles=tuple(parts))
+
+    @property
+    def npart_alive(self) -> List[int]:
+        return [int(np.asarray(p.alive).sum()) for p in self.state.particles]
+
+    def species_density(self, ispec: int) -> np.ndarray:
+        """Global number-density array of one species (host numpy).
+        Reference ExtractSpeciesDensity (callback/utils.py:240-464)."""
+        if not hasattr(self, "_rho_fns"):
+            self._rho_fns = {}
+        if ispec not in self._rho_fns:
+            if not hasattr(self, "_builder"):
+                self._build_stepper([])
+            self._rho_fns[ispec] = self._builder.make_species_rho(ispec)
+        rho = self._rho_fns[ispec](self.state.particles[ispec])
+        return np.asarray(rho)
+
+
+@dataclass
+class Simulation3D(Simulation):
+    """3D PIC simulation (reference simulation.py:1218+)."""
+
+    nz: int = 0
+    dz: float = 0.0
+    npatch_z: int = 0
+
+    dimension = 3
+
+    def __post_init__(self):
+        if self.nz <= 0 or self.dz <= 0:
+            raise ValueError("Simulation3D requires nz and dz")
+        if self.boundary_conditions is None:
+            self.boundary_conditions = {
+                "xmin": "pml", "xmax": "pml", "ymin": "pml", "ymax": "pml",
+                "zmin": "pml", "zmax": "pml"}
+        super().__post_init__()
+
+    @property
+    def Lz(self):
+        return self.nz * self.dz
+
+    @property
+    def nz_per_patch(self):
+        return self.grid.nz_loc
+
+
+Simulation2D = Simulation

@@ -1,0 +1,427 @@
+"""Jitted step construction.
+
+Builds the TPU-native analog of the reference main loop
+(simulation/simulation.py:937-1141). One simulation step is composed of
+three segments so host callbacks can run at stage boundaries:
+
+    seg_fields_1   : E += dt/2 ; B += dt/2            («maxwell_1» boundary)
+    seg_particles  : per species fused block =
+                     pos(dt/2) -> gather -> push -> pos(dt/2) -> Esirkepov
+                     -> halo-reduce J -> migrate     (the unified pusher,
+                     reference unified_pusher_2d.c:157-365, in one shard_map)
+    seg_fields_2   : B += dt/2 ; lasers ; E += dt/2   («maxwell_2» boundary)
+
+When no host callback is due at an interior boundary the fully fused
+``full_step`` (jit of all three) runs — the analog of the reference's
+unified-pusher auto-selection (simulation.py:896-911).
+
+Guard-cell traffic: ONE stacked halo-pad of the 6 EM components feeds every
+species' gather; per-species padded J/rho deposits are summed and folded
+back with ONE halo-reduce (reference does this with n_guard-wide MPI syncs,
+core/mpi/sync_fields2d.c).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..core.grid import Grid
+from ..core.state import FieldsState, ParticlesState, SimulationState
+from ..ops.cpml import CPMLCoeffs
+from ..ops.deposition import deposit_2d, deposit_3d
+from ..ops.interpolation import gather_eb_2d, gather_eb_3d
+from ..ops.maxwell import update_bfield, update_efield
+from ..ops.pusher import (boris_push, photon_push, push_position_2d,
+                          push_position_3d)
+from ..parallel.halo import HaloSpec, halo_pad, halo_reduce
+from ..parallel.migrate import migrate_2d, migrate_3d
+from ..constants import c as c_light
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+@dataclass(frozen=True)
+class SpeciesStatic:
+    """Static (trace-time) per-species info."""
+
+    name: str
+    q: float
+    m: float
+    pusher: str          # 'boris' | 'photon' | 'boris+tbmt'
+    cap: int
+    migration_buf: int
+    has_qed: bool = False
+
+
+class StepBuilder:
+    def __init__(self, grid: Grid, mesh, cpml: Optional[CPMLCoeffs],
+                 dt: float, species: Sequence[SpeciesStatic],
+                 lasers: Sequence = (), qed_processes: Sequence = (),
+                 sorters: Sequence = (), collisions=None):
+        self.grid = grid
+        self.mesh = mesh
+        self.cpml = cpml
+        self.dt = dt
+        self.species = tuple(species)
+        self.lasers = tuple(lasers)
+        self.qed_processes = tuple(qed_processes)
+        self.sorters = tuple(sorters)
+        self.collisions = collisions
+        names = grid.axis_names
+        shape = grid.mesh_shape
+        periodic = [grid.periodic(ax) for ax in ("x", "y", "z")[:grid.dimension]]
+        self.halo_specs = tuple(
+            HaloSpec(names[i], shape[i], periodic[i])
+            for i in range(grid.dimension))
+        self._p_field = P(*names)
+        self._p_stack = P(None, *names)
+        self._p_part = P(*names)      # (npx, npy[, npz], cap): cap replicated
+
+    # ------------------------------------------------------------------
+    def _smap(self, fn, in_specs, out_specs):
+        return _shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                          out_specs=out_specs)
+
+    # ------------------------------------------------------------------
+    def make_pad_eb(self) -> Callable:
+        g = self.grid.n_guard
+        specs = self.halo_specs
+        ndim = self.grid.dimension
+
+        def pad(stacked):
+            return halo_pad(stacked, g, tuple(range(1, 1 + ndim)), specs)
+
+        return self._smap(pad, (self._p_stack,), self._p_stack)
+
+    def make_reduce_j(self) -> Callable:
+        g = self.grid.n_guard
+        specs = self.halo_specs
+        ndim = self.grid.dimension
+
+        def red(jpad):
+            return halo_reduce(jpad, g, tuple(range(1, 1 + ndim)), specs)
+
+        return self._smap(red, (self._p_stack,), self._p_stack)
+
+    # ------------------------------------------------------------------
+    def make_species_block(self, ispec: int) -> Callable:
+        """Fused per-species particle stage (reference stage sequence
+        «_push_position_1 .. current_deposition» plus migration,
+        simulation.py:983-1077)."""
+        grid = self.grid
+        sp = self.species[ispec]
+        g = grid.n_guard
+        dt = self.dt
+        ndim = grid.dimension
+        specs = self.halo_specs
+        qed = [p for p in self.qed_processes if p.ispec == ispec]
+
+        cdt = [c_light * dt / d
+               for d in (grid.dx, grid.dy, grid.dz)[:ndim]]
+        nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:ndim]
+
+        def local(eb_pad, data, alive, next_id, overflow, key):
+            lead = alive.shape[:-1]          # (1,) * ndim
+            cap = alive.shape[-1]
+            data = {k: v.reshape(cap) for k, v in data.items()}
+            alive = alive.reshape(cap)
+            next_id = next_id.reshape(())
+            overflow = overflow.reshape(())
+
+            # position half push (reference stage _push_position_1)
+            ig = data["inv_gamma"]
+            if ndim == 2:
+                x, y = push_position_2d(data["x"], data["y"], data["ux"],
+                                        data["uy"], ig, cdt[0] / 2, cdt[1] / 2)
+                pos = (x, y)
+            else:
+                pos = push_position_3d(data["x"], data["y"], data["z"],
+                                       data["ux"], data["uy"], data["uz"], ig,
+                                       cdt[0] / 2, cdt[1] / 2, cdt[2] / 2)
+
+            # gather (reference stage _interpolator)
+            if ndim == 2:
+                eb_p = gather_eb_2d(*[eb_pad[i] for i in range(6)], *pos, g)
+            else:
+                eb_p = gather_eb_3d(*[eb_pad[i] for i in range(6)], *pos, g)
+            for name, v in zip(("ex_part", "ey_part", "ez_part",
+                                "bx_part", "by_part", "bz_part"), eb_p):
+                data[name] = v
+
+            # QED chi update + event sampling (reference stage _qed)
+            for proc in qed:
+                data, alive = proc.update_chi_and_events(data, alive, key, dt)
+
+            # momentum push (reference stage _push_momentum)
+            if sp.pusher == "boris":
+                ux, uy, uz, ig = boris_push(
+                    data["ux"], data["uy"], data["uz"], *eb_p,
+                    sp.q, sp.m, dt)
+            elif sp.pusher == "photon":
+                ux, uy, uz = data["ux"], data["uy"], data["uz"]
+                ig = photon_push(ux, uy, uz)
+            else:
+                raise NotImplementedError(f"pusher {sp.pusher}")
+
+            # position half push (reference stage _push_position_2)
+            if ndim == 2:
+                x, y = push_position_2d(pos[0], pos[1], ux, uy, ig,
+                                        cdt[0] / 2, cdt[1] / 2)
+                pos = (x, y)
+            else:
+                pos = push_position_3d(*pos, ux, uy, uz, ig,
+                                       cdt[0] / 2, cdt[1] / 2, cdt[2] / 2)
+
+            data["ux"], data["uy"], data["uz"] = ux, uy, uz
+            data["inv_gamma"] = ig
+            data["x"] = pos[0]
+            data["y"] = pos[1]
+            if ndim == 3:
+                data["z"] = pos[2]
+
+            # Esirkepov deposition (reference stage current_deposition)
+            w = jnp.where(alive, data["w"], 0.0)
+            if sp.q != 0.0:
+                if ndim == 2:
+                    j4 = deposit_2d(pos[0], pos[1], ux, uy, uz, ig, w,
+                                    q=sp.q, dx=grid.dx, dy=grid.dy, dt=dt,
+                                    nx_loc=nloc[0], ny_loc=nloc[1], g=g)
+                else:
+                    j4 = deposit_3d(*pos, ux, uy, uz, ig, w,
+                                    q=sp.q, dx=grid.dx, dy=grid.dy,
+                                    dz=grid.dz, dt=dt, nx_loc=nloc[0],
+                                    ny_loc=nloc[1], nz_loc=nloc[2], g=g)
+                jpad = jnp.stack(j4, axis=0)
+            else:
+                pshape = tuple(n + 2 * g for n in nloc)
+                jpad = jnp.zeros((4,) + pshape, dtype=pos[0].dtype)
+
+            # migration (reference patches.sync_particles + MPI variant)
+            if ndim == 2:
+                data, alive, lost = migrate_2d(data, alive, specs,
+                                               nloc[0], nloc[1],
+                                               sp.migration_buf)
+            else:
+                data, alive, lost = migrate_3d(data, alive, specs,
+                                               nloc[0], nloc[1], nloc[2],
+                                               sp.migration_buf)
+            overflow = overflow + lost
+
+            data = {k: v.reshape(lead + (cap,)) for k, v in data.items()}
+            alive = alive.reshape(lead + (cap,))
+            next_id = next_id.reshape(lead)
+            overflow = overflow.reshape(lead)
+            return data, alive, next_id, overflow, jpad
+
+        data_spec_tree = None  # filled per call; dict spec matches keys
+
+        def wrapper(eb_pad, pstate: ParticlesState, key):
+            dspec = {k: self._p_part for k in pstate.data}
+            fn = self._smap(
+                local,
+                (self._p_stack, dspec, self._p_part, self._p_field,
+                 self._p_field, P()),
+                (dspec, self._p_part, self._p_field, self._p_field,
+                 self._p_stack),
+            )
+            data, alive, next_id, overflow, jpad = fn(
+                eb_pad, pstate.data, pstate.alive, pstate.next_id,
+                pstate.overflow, key)
+            return ParticlesState(data=data, alive=alive, next_id=next_id,
+                                  overflow=overflow), jpad
+
+        return wrapper
+
+    # ------------------------------------------------------------------
+    def make_species_rho(self, ispec: int) -> Callable:
+        """Jitted single-species charge-density deposit (diagnostics;
+        reference SaveSpeciesDensityToHDF5._compute_density,
+        callback/hdf5.py:517-563)."""
+        grid = self.grid
+        sp = self.species[ispec]
+        g = grid.n_guard
+        ndim = grid.dimension
+        specs = self.halo_specs
+        nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:ndim]
+        dt = self.dt
+        q = sp.q if sp.q != 0.0 else 1.0   # photons: use unit charge
+
+        def local(data, alive):
+            cap = alive.shape[-1]
+            d = {k: v.reshape(cap) for k, v in data.items()}
+            alive = alive.reshape(cap)
+            w = jnp.where(alive, d["w"], 0.0)
+            if ndim == 2:
+                j4 = deposit_2d(d["x"], d["y"], d["ux"], d["uy"], d["uz"],
+                                d["inv_gamma"], w, q=q, dx=grid.dx,
+                                dy=grid.dy, dt=dt, nx_loc=nloc[0],
+                                ny_loc=nloc[1], g=g)
+            else:
+                j4 = deposit_3d(d["x"], d["y"], d["z"], d["ux"], d["uy"],
+                                d["uz"], d["inv_gamma"], w, q=q, dx=grid.dx,
+                                dy=grid.dy, dz=grid.dz, dt=dt,
+                                nx_loc=nloc[0], ny_loc=nloc[1],
+                                nz_loc=nloc[2], g=g)
+            rho_pad = j4[3]
+            return halo_reduce(rho_pad, g, tuple(range(ndim)), specs)
+
+        def wrapper(pstate: ParticlesState):
+            dspec = {k: self._p_part for k in pstate.data}
+            fn = self._smap(local, (dspec, self._p_part), self._p_field)
+            return fn(pstate.data, pstate.alive) / q
+
+        return jax.jit(wrapper)
+
+    # ------------------------------------------------------------------
+    def make_window_shift(self) -> Callable:
+        """Jitted one-cell moving-window shift: roll fields left by one cell
+        along x, zero the incoming column, shift particle x by -1 cell,
+        immediately re-migrate along x, and inject new particles on the
+        rightmost device column.
+
+        TPU-native divergence from the reference MovingWindow
+        (callback/utils.py:471-840): the reference recycles whole *patch*
+        columns; here the shift granularity is one cell, which maps to a
+        cheap roll of the sharded arrays and avoids patch-topology
+        rebuilds."""
+        grid = self.grid
+        ndim = grid.dimension
+        specs = self.halo_specs
+        nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:ndim]
+
+        def shift_fields(arr):
+            arr = jnp.roll(arr, -1, axis=0)
+            return arr.at[-1].set(0.0)
+
+        def species_shift(pstate: ParticlesState, new_vals, n_new, buf):
+            from ..parallel.inject import insert_local
+            from ..parallel.migrate import migrate_axis, sanitize_dead
+
+            def local(data, alive, next_id, overflow, nv, nn):
+                lead = alive.shape[:-1]
+                cap = alive.shape[-1]
+                data = {k: v.reshape(cap) for k, v in data.items()}
+                alive = alive.reshape(cap)
+                next_id = next_id.reshape(())
+                overflow = overflow.reshape(())
+                nv = {k: v.reshape(v.shape[-1]) for k, v in nv.items()}
+                nn = nn.reshape(())
+
+                data["x"] = jnp.where(alive, data["x"] - 1.0, data["x"])
+                data, alive, lost = migrate_axis(data, alive, specs[0], "x",
+                                                 nloc[0], buf)
+                data, alive, next_id, lost2 = insert_local(
+                    data, alive, next_id, nv, nn)
+                data = sanitize_dead(data, alive)
+                overflow = overflow + lost + lost2
+                return ({k: v.reshape(lead + (cap,)) for k, v in data.items()},
+                        alive.reshape(lead + (cap,)),
+                        next_id.reshape(lead), overflow.reshape(lead))
+
+            dspec = {k: self._p_part for k in pstate.data}
+            nvspec = {k: self._p_part for k in new_vals}
+            fn = self._smap(
+                local,
+                (dspec, self._p_part, self._p_field, self._p_field, nvspec,
+                 self._p_field),
+                (dspec, self._p_part, self._p_field, self._p_field))
+            data, alive, next_id, overflow = fn(
+                pstate.data, pstate.alive, pstate.next_id, pstate.overflow,
+                new_vals, n_new)
+            return ParticlesState(data=data, alive=alive, next_id=next_id,
+                                  overflow=overflow)
+
+        def shift(state: SimulationState, injections):
+            f = state.fields
+            updates = {name: shift_fields(getattr(f, name))
+                       for name in ("ex", "ey", "ez", "bx", "by", "bz",
+                                    "jx", "jy", "jz", "rho")}
+            psi = {k: shift_fields(v) for k, v in f.psi.items()}
+            f = f.replace(psi=psi, **updates)
+            parts = []
+            for ispec, sp in enumerate(self.species):
+                inj = injections[ispec]
+                parts.append(species_shift(state.particles[ispec],
+                                           inj["vals"], inj["n"],
+                                           sp.migration_buf))
+            return state.replace(fields=f, particles=tuple(parts))
+
+        return jax.jit(shift, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # segments
+    # ------------------------------------------------------------------
+    def seg_fields_1(self, state: SimulationState, scalars) -> SimulationState:
+        """E += dt/2 ; B += dt/2 (reference simulation.py:946-960)."""
+        f = state.fields
+        f = update_efield(f, self.grid, self.dt / 2, self.cpml)
+        f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
+        return state.replace(fields=f)
+
+    def seg_particles(self, state: SimulationState, scalars) -> SimulationState:
+        """sort/collisions/species blocks/current reduction
+        (reference simulation.py:966-1080)."""
+        key = scalars.get("key", jax.random.PRNGKey(0))
+        # optional sorters / collisions (phase B hooks)
+        particles = list(state.particles)
+        for sorter in self.sorters:
+            particles[sorter.ispec] = sorter.apply(particles[sorter.ispec],
+                                                   scalars)
+        if self.collisions is not None:
+            particles = self.collisions.apply(particles, state.fields, key)
+
+        pad_eb = self.make_pad_eb()
+        f = state.fields
+        eb = jnp.stack([f.ex, f.ey, f.ez, f.bx, f.by, f.bz], axis=0)
+        eb_pad = pad_eb(eb)
+
+        jpad_total = None
+        new_parts: List[ParticlesState] = []
+        for ispec in range(len(self.species)):
+            block = self.make_species_block(ispec)
+            kspec = jax.random.fold_in(key, ispec)
+            pnew, jpad = block(eb_pad, particles[ispec], kspec)
+            new_parts.append(pnew)
+            jpad_total = jpad if jpad_total is None else jpad_total + jpad
+
+        # QED particle creation (reference simulation.py:1052-1065)
+        for proc in self.qed_processes:
+            if proc.creates_particles:
+                new_parts = proc.create_particles(new_parts, key)
+
+        if jpad_total is not None:
+            jred = self.make_reduce_j()(jpad_total)
+            f = f.replace(jx=jred[0], jy=jred[1], jz=jred[2], rho=jred[3])
+        return state.replace(fields=f, particles=tuple(new_parts))
+
+    def seg_fields_2(self, state: SimulationState, scalars) -> SimulationState:
+        """B += dt/2 ; lasers ; E += dt/2 (reference simulation.py:1097-1118)."""
+        f = state.fields
+        f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
+        for i, laser in enumerate(self.lasers):
+            f = laser.apply(f, self.grid, self.dt,
+                            scalars.get(f"laser{i}", {}))
+        f = update_efield(f, self.grid, self.dt / 2, self.cpml)
+        return state.replace(fields=f)
+
+    def full_step(self, state: SimulationState, scalars) -> SimulationState:
+        state = self.seg_fields_1(state, scalars)
+        state = self.seg_particles(state, scalars)
+        state = self.seg_fields_2(state, scalars)
+        return state
+
+    def compile(self):
+        """Return (full, seg1, seg2, seg3) jitted with donation."""
+        jopts = dict(donate_argnums=(0,))
+        return (jax.jit(self.full_step, **jopts),
+                jax.jit(self.seg_fields_1, **jopts),
+                jax.jit(self.seg_particles, **jopts),
+                jax.jit(self.seg_fields_2, **jopts))
