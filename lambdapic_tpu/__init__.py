@@ -22,6 +22,7 @@ from .models.laser import (GaussianLaser, GaussianLaser2D, GaussianLaser3D,
                            Laser, SimpleLaser, SimpleLaser2D, SimpleLaser3D)
 from .models.moving_window import MovingWindow
 from .simulation.callbacks import Callback, JaxCallback, callback
+from .simulation.mask_simulation import MaskSimulation2D
 from .simulation.simulation import (Simulation, Simulation2D, Simulation3D,
                                     SimulationConfig)
 
@@ -32,7 +33,7 @@ __all__ = [
     "Species", "Electron", "Positron", "Proton", "Photon",
     "Laser", "SimpleLaser", "SimpleLaser2D", "SimpleLaser3D",
     "GaussianLaser", "GaussianLaser2D", "GaussianLaser3D",
-    "MovingWindow",
+    "MovingWindow", "MaskSimulation2D",
     "SaveFieldsToHDF5", "SaveSpeciesDensityToHDF5", "SaveParticlesToHDF5",
     "ExtractSpeciesDensity", "PlotFields", "RestartDump",
     "SetMomentum", "SetTemperature", "SetMomentumAndTemperature",

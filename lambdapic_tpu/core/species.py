@@ -41,6 +41,9 @@ class SpeciesConfig(BaseModel):
     momentum: Optional[tuple] = Field((None, None, None))
     polarization: Optional[tuple] = Field(None)
     pusher: Literal["boris", "photon", "boris+tbmt"] = Field("boris")
+    capacity: Optional[int] = Field(
+        None, description="TPU extra: minimum per-device particle capacity "
+        "(for species populated at runtime, e.g. QED photons/pairs)")
 
     model_config = {"arbitrary_types_allowed": True}
 
@@ -52,7 +55,9 @@ BASE_ATTRS = (
     "x", "y", "z", "w", "ux", "uy", "uz", "inv_gamma",
     "ex_part", "ey_part", "ez_part", "bx_part", "by_part", "bz_part",
 )
-QED_ATTRS = ("chi", "tau", "delta")          # reference particles.py:219-241
+# reference particles.py:219-241; 'event' is a separate bool array there,
+# here a float (0/1) attribute so it migrates with the particle
+QED_ATTRS = ("chi", "tau", "delta", "event")
 SPIN_ATTRS = ("sx", "sy", "sz")              # reference particles.py:273-279
 
 
@@ -82,13 +87,14 @@ class Species:
     momentum: Optional[tuple] = field(default=(None, None, None))
     polarization: Optional[tuple] = field(default=None)
     pusher: Literal["boris", "photon", "boris+tbmt"] = field(default="boris")
+    capacity: Optional[int] = field(default=None)
 
     def __post_init__(self):
         SpeciesConfig(
             name=self.name, charge=self.charge, mass=self.mass,
             density=self.density, density_min=self.density_min, ppc=self.ppc,
             momentum=self.momentum, polarization=self.polarization,
-            pusher=self.pusher,
+            pusher=self.pusher, capacity=self.capacity,
         )
         # SI units
         self.m = self.mass * m_e

@@ -1,0 +1,294 @@
+"""Monte-Carlo LCFA QED: nonlinear Compton photon emission and
+Breit-Wheeler pair production.
+
+TPU-native rebuild of the reference QED stack (core/qed/radiation.py:19-276,
+pair_production.py:18-277, optical_depth.py:36-130, inline.py:5-192):
+
+- chi computed per particle from the gathered E, B and pre-push momentum
+  (inline.py:5-13), at the reference's `_qed` stage (inside the fused
+  species block, between gather and momentum push).
+- optical-depth method: tau initialized to -log(1-r), decremented by the
+  tabulated total event rate * dt/gamma; on crossing zero the energy
+  fraction delta is sampled by bisection of the tabulated cumulative
+  distribution (optical_depth.py:36-130) — here a vectorized fixed-depth
+  binary search with on-the-fly chi interpolation.
+- particle creation fills dead slots (inline.py:50-192) via the masked
+  slot allocator (parallel/inject.py); photon recoil (u *= 1-delta) and
+  photon removal afterwards, matching the reference ordering where
+  deposition uses pre-recoil momenta (simulation.py:1052-1065).
+
+Randomness is counter-based jax.random keyed on (step, species, device) —
+bitwise reproducible for a fixed seed and mesh.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..constants import c, e, hbar, m_e
+from .qed_tables import load_tables
+
+CHI_FACTOR = e * hbar / (m_e**2 * c**3)
+
+
+def calculate_chi(ex_p, ey_p, ez_p, bx_p, by_p, bz_p, ux, uy, uz, inv_gamma):
+    """Quantum parameter chi (reference inline.py:5-13)."""
+    gamma = 1.0 / inv_gamma
+    val = ((gamma * ex_p + (uy * bz_p - uz * by_p) * c)**2
+           + (gamma * ey_p + (uz * bx_p - ux * bz_p) * c)**2
+           + (gamma * ez_p + (ux * by_p - uy * bx_p) * c)**2
+           - (ux * ex_p + uy * ey_p + uz * ez_p)**2)
+    return CHI_FACTOR * jnp.sqrt(jnp.maximum(val, 0.0))
+
+
+@dataclass(frozen=True)
+class _Tables:
+    """Device copies of the optical-depth tables."""
+
+    total: jnp.ndarray          # (chi_N,)
+    cumulative: jnp.ndarray     # (chi_N, delta_N)
+    log_chi_min: float
+    log_chi_max: float
+    log_chi_delta: float
+    log_delta_min: float
+    log_delta_delta: float
+    chi_N: int
+    delta_N: int
+
+
+def _make_tables(kind: str, dtype) -> _Tables:
+    t = load_tables()
+    key_total = f"{kind}_prob_rate_total"
+    key_cum = f"integral_{kind}_prob_along_delta"
+    lo, hi = [float(v) for v in t["log_chi_range"]]
+    dlo, _ = [float(v) for v in t["log_delta_range"]]
+    return _Tables(
+        total=jnp.asarray(t[key_total], dtype),
+        cumulative=jnp.asarray(t[key_cum], dtype),
+        log_chi_min=lo, log_chi_max=hi,
+        log_chi_delta=float(t["log_chi_delta"]),
+        log_delta_min=dlo,
+        log_delta_delta=float(t["log_delta_delta"]),
+        chi_N=int(t["chi_N"]), delta_N=int(t["delta_N"]),
+    )
+
+
+def _total_rate(chi, tb: _Tables):
+    """Linear interpolation of the total event rate in log10(chi)
+    (reference optical_depth_tables.py:44-54): 0 below the table range."""
+    log_chi = jnp.log10(jnp.maximum(chi, 1e-30))
+    grid = tb.log_chi_min + tb.log_chi_delta * jnp.arange(
+        tb.chi_N, dtype=chi.dtype)
+    rate = jnp.interp(log_chi, grid, tb.total)
+    return jnp.where(log_chi >= tb.log_chi_min, rate, 0.0)
+
+
+def _sample_delta(chi, r01, tb: _Tables):
+    """Sample the energy fraction delta by bisecting the chi-interpolated
+    cumulative table (reference optical_depth_tables.py:57-90), vectorized
+    with a fixed-depth binary search."""
+    log_chi = jnp.log10(jnp.maximum(chi, 1e-30))
+    fidx = (log_chi - tb.log_chi_min) / tb.log_chi_delta
+    chi_idx = jnp.clip(jnp.floor(fidx).astype(jnp.int32), 0, tb.chi_N - 2)
+    t = fidx - chi_idx.astype(chi.dtype)
+
+    # gathering whole (delta_N,) rows per particle would be huge; gather
+    # single entries on demand instead:
+    def entry(i):
+        a = tb.cumulative[chi_idx, i]
+        b = tb.cumulative[chi_idx + 1, i]
+        return a * (1 - t) + b * t
+
+    ymin = entry(jnp.zeros_like(chi_idx))
+    ymax = entry(jnp.full_like(chi_idx, tb.delta_N - 1))
+    r = r01 * (ymax - ymin) + ymin
+
+    low = jnp.zeros_like(chi_idx)
+    high = jnp.full_like(chi_idx, tb.delta_N - 1)
+    for _ in range(int(np.ceil(np.log2(tb.delta_N))) + 1):
+        mid = (low + high) // 2
+        v = entry(mid)
+        go_up = v < r
+        low = jnp.where(go_up, mid + 1, low)
+        high = jnp.where(go_up, high, mid - 1)
+    delta_idx = jnp.clip(high, 0, tb.delta_N - 2)
+
+    y1 = entry(delta_idx)
+    y2 = entry(delta_idx + 1)
+    k = tb.log_delta_delta / jnp.where(y2 != y1, y2 - y1, 1e-300)
+    log_delta = (tb.log_delta_min + delta_idx.astype(chi.dtype)
+                 * tb.log_delta_delta + k * (r - y1))
+    return jnp.power(10.0, jnp.minimum(log_delta, 0.0))
+
+
+def _update_tau(tau, inv_gamma, chi, alive, dt, keys, tb: _Tables,
+                strict_less: bool):
+    """Optical-depth decrement + event flag (reference
+    optical_depth.py:36-130). strict_less: photon emission uses tau<0,
+    pair production tau<=0."""
+    chi_min = 10.0 ** tb.log_chi_min
+    active = alive & (chi >= chi_min)
+    u1 = jax.random.uniform(keys[0], tau.shape, dtype=tau.dtype)
+    u2 = jax.random.uniform(keys[1], tau.shape, dtype=tau.dtype)
+    u3 = jax.random.uniform(keys[2], tau.shape, dtype=tau.dtype)
+
+    rate = _total_rate(chi, tb)
+    tau_init = jnp.where((tau == 0.0) | jnp.isnan(tau),
+                         -jnp.log1p(-u1), tau)
+    tau_new = tau_init - rate * dt * inv_gamma
+    crossed = tau_new < 0 if strict_less else tau_new <= 0
+    event = active & crossed
+    tau_out = jnp.where(event, -jnp.log1p(-u2), tau_new)
+    tau_out = jnp.where(active, tau_out, tau)
+    delta = jnp.where(event, _sample_delta(chi, u3, tb), 0.0)
+    return tau_out, event, delta
+
+
+
+
+class NonlinearComptonLCFA:
+    """Photon emission (reference radiation.py:114-239)."""
+
+    creates_particles = True
+
+    def __init__(self, ispec: int, photon_ispec: int, buf: int,
+                 dtype=jnp.float32):
+        self.ispec = ispec
+        self.photon_ispec = photon_ispec
+        self.buf = buf
+        self.tables = _make_tables("photon", dtype)
+        self._disabled_event = False   # test hook: event() stage toggle
+
+    # -- called inside the fused species block (local (cap,) arrays) -----
+    def update_chi_and_events(self, data, alive, key, dt):
+        data = dict(data)
+        chi = calculate_chi(
+            data["ex_part"], data["ey_part"], data["ez_part"],
+            data["bx_part"], data["by_part"], data["bz_part"],
+            data["ux"], data["uy"], data["uz"], data["inv_gamma"])
+        data["chi"] = jnp.where(alive, chi, 0.0)
+        keys = jax.random.split(jax.random.fold_in(key, 101), 3)
+        tau, event, delta = _update_tau(
+            data["tau"], data["inv_gamma"], data["chi"], alive, dt, keys,
+            self.tables, strict_less=True)
+        data["tau"] = tau
+        data["event"] = event.astype(data["tau"].dtype)
+        data["delta"] = delta
+        return data, alive
+
+    # -- creation phase (local arrays of parent + child species) ---------
+    def creation_local(self, edata, ealive, pdata, palive, pnext, pover,
+                       ndim: int):
+        from ..parallel.inject import insert_local
+
+        cap_e = ealive.shape[0]
+        ev = ealive & (edata["event"] > 0)
+        n_ev = jnp.sum(ev)
+        idx = jnp.nonzero(ev, size=self.buf, fill_value=cap_e)[0]
+
+        def take(a):
+            return jnp.take(a, idx, mode="fill", fill_value=0)
+
+        delta_ev = take(edata["delta"])
+        ux = delta_ev * take(edata["ux"])
+        uy = delta_ev * take(edata["uy"])
+        uz = delta_ev * take(edata["uz"])
+        u2 = ux**2 + uy**2 + uz**2
+        new = {
+            "x": take(edata["x"]), "y": take(edata["y"]),
+            "w": take(edata["w"]),
+            "ux": ux, "uy": uy, "uz": uz,
+            "inv_gamma": jnp.where(u2 > 0, 1.0 / jnp.sqrt(
+                jnp.maximum(u2, 1e-30)), 1.0),
+        }
+        if ndim == 3:
+            new["z"] = take(edata["z"])
+        pdata, palive, pnext, lost = insert_local(pdata, palive, pnext, new,
+                                                  n_ev)
+
+        # photon recoil (reference qed/cpu.py:308-330)
+        edata = dict(edata)
+        fac = jnp.where(ev, 1.0 - edata["delta"], 1.0)
+        edata["ux"] = edata["ux"] * fac
+        edata["uy"] = edata["uy"] * fac
+        edata["uz"] = edata["uz"] * fac
+        edata["inv_gamma"] = 1.0 / jnp.sqrt(
+            1.0 + edata["ux"]**2 + edata["uy"]**2 + edata["uz"]**2)
+        edata["event"] = jnp.zeros_like(edata["event"])
+        return edata, ealive, pdata, palive, pnext, pover + lost
+
+
+class NonlinearPairProductionLCFA:
+    """Breit-Wheeler pair production (reference pair_production.py:110-277)."""
+
+    creates_particles = True
+
+    def __init__(self, ispec: int, electron_ispec: int, positron_ispec: int,
+                 buf: int, dtype=jnp.float32):
+        self.ispec = ispec                 # photon species
+        self.electron_ispec = electron_ispec
+        self.positron_ispec = positron_ispec
+        self.buf = buf
+        self.tables = _make_tables("pair", dtype)
+
+    def update_chi_and_events(self, data, alive, key, dt):
+        data = dict(data)
+        chi = calculate_chi(
+            data["ex_part"], data["ey_part"], data["ez_part"],
+            data["bx_part"], data["by_part"], data["bz_part"],
+            data["ux"], data["uy"], data["uz"], data["inv_gamma"])
+        data["chi"] = jnp.where(alive, chi, 0.0)
+        keys = jax.random.split(jax.random.fold_in(key, 202), 3)
+        tau, event, delta = _update_tau(
+            data["tau"], data["inv_gamma"], data["chi"], alive, dt, keys,
+            self.tables, strict_less=False)
+        data["tau"] = tau
+        data["event"] = event.astype(data["tau"].dtype)
+        data["delta"] = delta
+        return data, alive
+
+    def creation_local(self, phdata, phalive,
+                       edata, ealive, enext, eover,
+                       pdata, palive, pnext, pover, ndim: int):
+        """Create e-/e+ pairs from photon events, then remove the photons
+        (reference inline.py:120-192, cpu.py:335-347)."""
+        from ..parallel.inject import insert_local
+
+        cap_ph = phalive.shape[0]
+        ev = phalive & (phdata["event"] > 0)
+        n_ev = jnp.sum(ev)
+        idx = jnp.nonzero(ev, size=self.buf, fill_value=cap_ph)[0]
+
+        def take(a):
+            return jnp.take(a, idx, mode="fill", fill_value=0)
+
+        delta_ev = take(phdata["delta"])
+        base = {"x": take(phdata["x"]), "y": take(phdata["y"]),
+                "w": take(phdata["w"])}
+        if ndim == 3:
+            base["z"] = take(phdata["z"])
+        upx, upy, upz = (take(phdata["ux"]), take(phdata["uy"]),
+                         take(phdata["uz"]))
+
+        def child(frac):
+            ux, uy, uz = frac * upx, frac * upy, frac * upz
+            return dict(base, ux=ux, uy=uy, uz=uz,
+                        inv_gamma=1.0 / jnp.sqrt(1 + ux**2 + uy**2 + uz**2))
+
+        edata, ealive, enext, lost_e = insert_local(
+            edata, ealive, enext, child(delta_ev), n_ev)
+        pdata, palive, pnext, lost_p = insert_local(
+            pdata, palive, pnext, child(1.0 - delta_ev), n_ev)
+
+        # remove converted photons
+        phdata = dict(phdata)
+        phalive = phalive & ~ev
+        phdata["w"] = jnp.where(phalive, phdata["w"], 0.0)
+        phdata["event"] = jnp.zeros_like(phdata["event"])
+        return (phdata, phalive, edata, ealive, enext,
+                eover + lost_e, pdata, palive, pnext, pover + lost_p)

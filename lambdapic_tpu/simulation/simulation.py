@@ -210,9 +210,13 @@ class Simulation:
                 f"{[s.name for s in compatible]}")
             self.add_species(compatible)
 
-    def add_collision(self, groups):
+    def add_collision(self, groups, lnLambda: float = 0.0):
+        """Register collision groups (reference Collision,
+        core/collision/collision.py:22-63): every unordered pair of species
+        within a group collides; a species listed twice collides with
+        itself. lnLambda=0 selects the varying Coulomb log."""
         self._collision_groups = groups
-        logger.warning("collisions: not implemented yet in this build")
+        self._collision_lnLambda = lnLambda
 
     # ------------------------------------------------------------------
     def _make_grid(self) -> Grid:
@@ -270,6 +274,8 @@ class Simulation:
         for ispec, sp in enumerate(self.species):
             counts = count_macro_particles(self.grid, sp)
             cap = pick_capacity(counts, self._config.particle_capacity_factor)
+            if sp.capacity is not None:
+                cap = max(cap, int(np.ceil(sp.capacity / 128) * 128))
             arrays, counts = fill_species(self.grid, sp, seed, ispec, cap)
             pst = particles_from_numpy(self.grid, sp, arrays, counts, cap,
                                        dtype=dtype)
@@ -292,8 +298,35 @@ class Simulation:
                         f"{min(buf, cap)}")
 
         self.state = SimulationState(fields=fields, particles=tuple(parts))
+        self._init_qed()
         self.initialized = True
         logger.info("Initialization complete")
+
+    def _init_qed(self):
+        """Build QED processes from species wiring (reference
+        simulation.py _init_qed; species.py set_photon/set_bw_pair)."""
+        from ..core.species import Electron, Photon
+        from ..models.qed import (NonlinearComptonLCFA,
+                                  NonlinearPairProductionLCFA)
+        self._qed_processes = []
+        dtype = self.dtype
+        for sp in self.species:
+            if isinstance(sp, Electron):
+                if sp.radiation == "photons" and sp.photon is not None:
+                    buf = self._species_static[sp.ispec].migration_buf
+                    self._qed_processes.append(NonlinearComptonLCFA(
+                        sp.ispec, sp.photon.ispec, buf, dtype))
+                elif sp.radiation == "ll":
+                    logger.warning(
+                        "continuous (LL) radiation is a stub (as in the "
+                        "reference, radiation.py:240-276); ignored")
+            if isinstance(sp, Photon) and sp.electron is not None:
+                buf = self._species_static[sp.ispec].migration_buf
+                self._qed_processes.append(NonlinearPairProductionLCFA(
+                    sp.ispec, sp.electron.ispec, sp.positron.ispec, buf,
+                    dtype))
+        if self._qed_processes:
+            logger.info(f"QED processes: {len(self._qed_processes)}")
 
     def _disable_x_pml(self):
         """Remove the x-axis PML (moving-window start; reference
@@ -317,9 +350,34 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def _build_stepper(self, lasers: Sequence[JaxCallback]):
+        collisions = None
+        if self._collision_groups:
+            from itertools import combinations
+
+            from ..models.collision import (Collision, CollisionConfig,
+                                            CollisionPairCfg)
+            pairs = []
+            seen = set()
+            for group in self._collision_groups:
+                for s1, s2 in combinations(group, 2):
+                    p = tuple(sorted((s1.ispec, s2.ispec)))
+                    if p not in seen:
+                        seen.add(p)
+                        pairs.append(CollisionPairCfg(*p))
+            cell_vol = self.dx * self.dy * (
+                self.dz if self.dimension == 3 else 1.0)
+            cfg = CollisionConfig(
+                pairs=tuple(pairs),
+                species_mq=tuple((s.m, s.q) for s in self.species),
+                cell_vol=cell_vol,
+                lnLambda=getattr(self, "_collision_lnLambda", 0.0))
+            collisions = Collision(cfg, self.grid)
+            logger.info(f"collisions: {len(pairs)} species pairs")
         builder = StepBuilder(
             grid=self.grid, mesh=self.mesh, cpml=self.cpml, dt=self.dt,
-            species=self._species_static, lasers=lasers)
+            species=self._species_static, lasers=lasers,
+            qed_processes=getattr(self, "_qed_processes", ()),
+            collisions=collisions)
         self._builder = builder
         self._rho_fns = {}
         (self._full_step, self._seg1, self._seg2, self._seg3) = \
@@ -356,9 +414,13 @@ class Simulation:
 
         lasers = [cb for cb in callbacks
                   if getattr(cb, "is_jax_callback", False)]
-        self._active_lasers = lasers
         cbs = SimulationCallbacks(callbacks, self)
-        self._build_stepper(lasers)
+        # (re)build the stepper only when the traced-callback set changes —
+        # rebuilding recompiles the whole step
+        if getattr(self, "_active_lasers", None) != lasers or \
+                not hasattr(self, "_full_step"):
+            self._active_lasers = lasers
+            self._build_stepper(lasers)
 
         nsteps_total = self._handle_nsteps(nsteps, sim_time)
 
@@ -397,9 +459,6 @@ class Simulation:
                 self.time += self.dt
                 self.itime += 1
 
-                if self.itime % self._recap_interval == 0:
-                    self._check_overflow()
-
                 if stop_callback is not None and stop_callback():
                     pbar.close()
                     return "stop by callback"
@@ -407,6 +466,9 @@ class Simulation:
             pbar.close()
 
         jax.block_until_ready(self.state)
+        # overflow accounting outside the hot loop: host reads while the
+        # async dispatch queue is deep serialize execution on some backends
+        self._check_overflow()
         with Timer("Callbacks: final stage"):
             cbs.run("final")
 
@@ -424,6 +486,9 @@ class Simulation:
     def get_field(self, name: str) -> np.ndarray:
         """Assembled global field array on host (reference
         callback/utils.py get_fields)."""
+        # drain the dispatch queue through the fast path before the host
+        # read (raw reads against a deep queue serialize on the TPU relay)
+        jax.block_until_ready(self.state)
         return np.asarray(getattr(self.state.fields, name))
 
     def set_field(self, name: str, value: np.ndarray):
@@ -435,6 +500,7 @@ class Simulation:
 
     def get_particles(self, ispec: int) -> Dict[str, np.ndarray]:
         """Flattened host copies of alive particles of one species."""
+        jax.block_until_ready(self.state)
         p = self.state.particles[ispec]
         alive = np.asarray(p.alive).reshape(-1)
         out = {}
@@ -492,17 +558,29 @@ class Simulation:
     def npart_alive(self) -> List[int]:
         return [int(np.asarray(p.alive).sum()) for p in self.state.particles]
 
-    def species_density(self, ispec: int) -> np.ndarray:
-        """Global number-density array of one species (host numpy).
-        Reference ExtractSpeciesDensity (callback/utils.py:240-464)."""
+    def _species_deposit(self, ispec: int) -> np.ndarray:
         if not hasattr(self, "_rho_fns"):
             self._rho_fns = {}
         if ispec not in self._rho_fns:
             if not hasattr(self, "_builder"):
                 self._build_stepper([])
             self._rho_fns[ispec] = self._builder.make_species_rho(ispec)
-        rho = self._rho_fns[ispec](self.state.particles[ispec])
-        return np.asarray(rho)
+        fn, q = self._rho_fns[ispec]
+        jax.block_until_ready(self.state)
+        return np.asarray(fn(self.state.particles[ispec])), q
+
+    def species_density(self, ispec: int) -> np.ndarray:
+        """Global number-density array of one species (host numpy).
+        Reference ExtractSpeciesDensity (callback/utils.py:240-464)."""
+        j4, q = self._species_deposit(ispec)
+        return j4[3] / q
+
+    def species_current(self, ispec: int):
+        """Species-resolved (jx, jy, jz, rho) (reference
+        example/species-resolved-ex.py's current_deposition-stage
+        extraction)."""
+        j4, q = self._species_deposit(ispec)
+        return j4[0], j4[1], j4[2], j4[3]
 
 
 @dataclass

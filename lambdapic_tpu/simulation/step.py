@@ -84,11 +84,27 @@ class StepBuilder:
         self._p_field = P(*names)
         self._p_stack = P(None, *names)
         self._p_part = P(*names)      # (npx, npy[, npz], cap): cap replicated
+        self._damping = None          # masked-domain sponge (mask_simulation)
+        self._domain_mask = None
+
+    def set_domain_mask(self, domain_mask, damping):
+        """Enable masked-domain mode (simulation/mask_simulation.py): fields
+        are damped by `damping` each half-update and particles die outside
+        `domain_mask`."""
+        self._domain_mask = jnp.asarray(domain_mask)
+        self._damping = jnp.asarray(damping, dtype=jnp.float32)
 
     # ------------------------------------------------------------------
     def _smap(self, fn, in_specs, out_specs):
-        return _shard_map(fn, mesh=self.mesh, in_specs=in_specs,
-                          out_specs=out_specs)
+        # check_vma=False: blocks legitimately mix device-varying data with
+        # freshly-created (invariant) accumulators, e.g. the chunked
+        # deposition scan carry
+        try:
+            return _shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+        except TypeError:
+            return _shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
 
     # ------------------------------------------------------------------
     def make_pad_eb(self) -> Callable:
@@ -128,13 +144,22 @@ class StepBuilder:
                for d in (grid.dx, grid.dy, grid.dz)[:ndim]]
         nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:ndim]
 
-        def local(eb_pad, data, alive, next_id, overflow, key):
+        axis_names = grid.axis_names
+        mesh_shape = grid.mesh_shape
+
+        def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
             lead = alive.shape[:-1]          # (1,) * ndim
             cap = alive.shape[-1]
             data = {k: v.reshape(cap) for k, v in data.items()}
             alive = alive.reshape(cap)
             next_id = next_id.reshape(())
             overflow = overflow.reshape(())
+            # per-device RNG stream (analog of per-patch rng.spawn,
+            # reference simulation.py:700-716)
+            didx = jnp.int32(0)
+            for name, size in zip(axis_names, mesh_shape):
+                didx = didx * size + jax.lax.axis_index(name)
+            key = jax.random.fold_in(key, didx)
 
             # position half push (reference stage _push_position_1)
             ig = data["inv_gamma"]
@@ -215,6 +240,17 @@ class StepBuilder:
                                                sp.migration_buf)
             overflow = overflow + lost
 
+            # masked-domain particle absorption (mask_simulation)
+            if mask_args:
+                mask_loc = mask_args[0]
+                ix = jnp.clip(jnp.floor(data["x"] + 0.5).astype(jnp.int32),
+                              0, nloc[0] - 1)
+                iy = jnp.clip(jnp.floor(data["y"] + 0.5).astype(jnp.int32),
+                              0, nloc[1] - 1)
+                inside = mask_loc[ix, iy]
+                alive = alive & inside
+                data["w"] = jnp.where(alive, data["w"], 0.0)
+
             data = {k: v.reshape(lead + (cap,)) for k, v in data.items()}
             alive = alive.reshape(lead + (cap,))
             next_id = next_id.reshape(lead)
@@ -225,16 +261,19 @@ class StepBuilder:
 
         def wrapper(eb_pad, pstate: ParticlesState, key):
             dspec = {k: self._p_part for k in pstate.data}
+            in_specs = [self._p_stack, dspec, self._p_part, self._p_field,
+                        self._p_field, P()]
+            args = [eb_pad, pstate.data, pstate.alive, pstate.next_id,
+                    pstate.overflow, key]
+            if self._domain_mask is not None:
+                in_specs.append(self._p_field)
+                args.append(self._domain_mask)
             fn = self._smap(
-                local,
-                (self._p_stack, dspec, self._p_part, self._p_field,
-                 self._p_field, P()),
+                local, tuple(in_specs),
                 (dspec, self._p_part, self._p_field, self._p_field,
                  self._p_stack),
             )
-            data, alive, next_id, overflow, jpad = fn(
-                eb_pad, pstate.data, pstate.alive, pstate.next_id,
-                pstate.overflow, key)
+            data, alive, next_id, overflow, jpad = fn(*args)
             return ParticlesState(data=data, alive=alive, next_id=next_id,
                                   overflow=overflow), jpad
 
@@ -270,15 +309,170 @@ class StepBuilder:
                                 dy=grid.dy, dz=grid.dz, dt=dt,
                                 nx_loc=nloc[0], ny_loc=nloc[1],
                                 nz_loc=nloc[2], g=g)
-            rho_pad = j4[3]
-            return halo_reduce(rho_pad, g, tuple(range(ndim)), specs)
+            jpad = jnp.stack(j4, axis=0)
+            return halo_reduce(jpad, g, tuple(range(1, 1 + ndim)), specs)
 
         def wrapper(pstate: ParticlesState):
             dspec = {k: self._p_part for k in pstate.data}
-            fn = self._smap(local, (dspec, self._p_part), self._p_field)
-            return fn(pstate.data, pstate.alive) / q
+            fn = self._smap(local, (dspec, self._p_part), self._p_stack)
+            return fn(pstate.data, pstate.alive)
 
-        return jax.jit(wrapper)
+        return jax.jit(wrapper), q
+
+    # ------------------------------------------------------------------
+    def _apply_collisions(self, parts: List[ParticlesState], key
+                          ) -> List[ParticlesState]:
+        """shard_map wrapper for the collision stage (models/collision.py):
+        runs before the pusher on the pre-push momenta (reference
+        simulation.py:974-978)."""
+        col = self.collisions
+        ispecs = col.ispecs
+        axis_names = self.grid.axis_names
+        mesh_shape = self.grid.mesh_shape
+        dt = self.dt
+
+        def local(key, *flat):
+            didx = jnp.int32(0)
+            for name, size in zip(axis_names, mesh_shape):
+                didx = didx * size + jax.lax.axis_index(name)
+            dkey = jax.random.fold_in(key, didx)
+            species_data = {}
+            caps = {}
+            for k, ispec in enumerate(ispecs):
+                data, alive = flat[2 * k], flat[2 * k + 1]
+                cap = alive.shape[-1]
+                caps[ispec] = (alive.shape[:-1], cap)
+                species_data[ispec] = (
+                    {kk: v.reshape(cap) for kk, v in data.items()},
+                    alive.reshape(cap))
+            out = col.apply_local(species_data, dt, dkey)
+            result = []
+            for ispec in ispecs:
+                lead, cap = caps[ispec]
+                result.append({kk: v.reshape(lead + (cap,))
+                               for kk, v in out[ispec].items()})
+            return tuple(result)
+
+        in_specs = [P()]
+        out_specs = []
+        args = [key]
+        for ispec in ispecs:
+            dspec = {k: self._p_part for k in parts[ispec].data}
+            in_specs += [dspec, self._p_part]
+            out_specs.append(dspec)
+            args += [parts[ispec].data, parts[ispec].alive]
+        fn = self._smap(local, tuple(in_specs), tuple(out_specs))
+        new_data = fn(*args)
+        parts = list(parts)
+        for k, ispec in enumerate(ispecs):
+            parts[ispec] = parts[ispec].replace(data=new_data[k])
+        return parts
+
+    # ------------------------------------------------------------------
+    def _apply_qed_creation(self, proc, parts: List[ParticlesState]
+                            ) -> List[ParticlesState]:
+        """shard_map wrapper around a QED process's creation_local
+        (models/qed.py): photon emission or pair production into dead
+        slots of the child species."""
+        from ..models.qed import (NonlinearComptonLCFA,
+                                  NonlinearPairProductionLCFA)
+
+        ndim = self.grid.dimension
+        parts = list(parts)
+
+        def squeeze(d, a, *rest):
+            cap = a.shape[-1]
+            lead = a.shape[:-1]
+            return ({k: v.reshape(cap) for k, v in d.items()},
+                    a.reshape(cap),
+                    [r.reshape(()) for r in rest], lead, cap)
+
+        if isinstance(proc, NonlinearComptonLCFA):
+            e = parts[proc.ispec]
+            ph = parts[proc.photon_ispec]
+
+            def local(edata, ealive, phdata, phalive, phnext, phover):
+                edata, ealive, _, lead, cap_e = squeeze(edata, ealive)
+                phdata, phalive, (phnext, phover), _, cap_p = squeeze(
+                    phdata, phalive, phnext, phover)
+                out = proc.creation_local(edata, ealive, phdata, phalive,
+                                          phnext, phover, ndim)
+                edata, ealive, phdata, phalive, phnext, phover = out
+                return ({k: v.reshape(lead + (cap_e,))
+                         for k, v in edata.items()},
+                        ealive.reshape(lead + (cap_e,)),
+                        {k: v.reshape(lead + (cap_p,))
+                         for k, v in phdata.items()},
+                        phalive.reshape(lead + (cap_p,)),
+                        phnext.reshape(lead), phover.reshape(lead))
+
+            edspec = {k: self._p_part for k in e.data}
+            pdspec = {k: self._p_part for k in ph.data}
+            fn = self._smap(
+                local,
+                (edspec, self._p_part, pdspec, self._p_part, self._p_field,
+                 self._p_field),
+                (edspec, self._p_part, pdspec, self._p_part, self._p_field,
+                 self._p_field))
+            edata, ealive, phdata, phalive, phnext, phover = fn(
+                e.data, e.alive, ph.data, ph.alive, ph.next_id, ph.overflow)
+            parts[proc.ispec] = e.replace(data=edata, alive=ealive)
+            parts[proc.photon_ispec] = ph.replace(
+                data=phdata, alive=phalive, next_id=phnext, overflow=phover)
+            return parts
+
+        if isinstance(proc, NonlinearPairProductionLCFA):
+            ph = parts[proc.ispec]
+            el = parts[proc.electron_ispec]
+            po = parts[proc.positron_ispec]
+
+            def local(phdata, phalive, edata, ealive, enext, eover,
+                      pdata, palive, pnext, pover):
+                phdata, phalive, _, lead, cap_ph = squeeze(phdata, phalive)
+                edata, ealive, (enext, eover), _, cap_e = squeeze(
+                    edata, ealive, enext, eover)
+                pdata, palive, (pnext, pover), _, cap_p = squeeze(
+                    pdata, palive, pnext, pover)
+                out = proc.creation_local(
+                    phdata, phalive, edata, ealive, enext, eover,
+                    pdata, palive, pnext, pover, ndim)
+                (phdata, phalive, edata, ealive, enext, eover,
+                 pdata, palive, pnext, pover) = out
+                return ({k: v.reshape(lead + (cap_ph,))
+                         for k, v in phdata.items()},
+                        phalive.reshape(lead + (cap_ph,)),
+                        {k: v.reshape(lead + (cap_e,))
+                         for k, v in edata.items()},
+                        ealive.reshape(lead + (cap_e,)),
+                        enext.reshape(lead), eover.reshape(lead),
+                        {k: v.reshape(lead + (cap_p,))
+                         for k, v in pdata.items()},
+                        palive.reshape(lead + (cap_p,)),
+                        pnext.reshape(lead), pover.reshape(lead))
+
+            phspec = {k: self._p_part for k in ph.data}
+            espec = {k: self._p_part for k in el.data}
+            pspec = {k: self._p_part for k in po.data}
+            fn = self._smap(
+                local,
+                (phspec, self._p_part, espec, self._p_part, self._p_field,
+                 self._p_field, pspec, self._p_part, self._p_field,
+                 self._p_field),
+                (phspec, self._p_part, espec, self._p_part, self._p_field,
+                 self._p_field, pspec, self._p_part, self._p_field,
+                 self._p_field))
+            out = fn(ph.data, ph.alive, el.data, el.alive, el.next_id,
+                     el.overflow, po.data, po.alive, po.next_id, po.overflow)
+            (phdata, phalive, edata, ealive, enext, eover,
+             pdata, palive, pnext, pover) = out
+            parts[proc.ispec] = ph.replace(data=phdata, alive=phalive)
+            parts[proc.electron_ispec] = el.replace(
+                data=edata, alive=ealive, next_id=enext, overflow=eover)
+            parts[proc.positron_ispec] = po.replace(
+                data=pdata, alive=palive, next_id=pnext, overflow=pover)
+            return parts
+
+        raise NotImplementedError(f"unknown QED process {proc!r}")
 
     # ------------------------------------------------------------------
     def make_window_shift(self) -> Callable:
@@ -359,24 +553,28 @@ class StepBuilder:
     # ------------------------------------------------------------------
     # segments
     # ------------------------------------------------------------------
+    def _apply_damping(self, f: FieldsState) -> FieldsState:
+        if self._damping is None:
+            return f
+        d = self._damping.astype(f.ex.dtype)
+        return f.replace(ex=f.ex * d, ey=f.ey * d, ez=f.ez * d,
+                         bx=f.bx * d, by=f.by * d, bz=f.bz * d)
+
     def seg_fields_1(self, state: SimulationState, scalars) -> SimulationState:
         """E += dt/2 ; B += dt/2 (reference simulation.py:946-960)."""
         f = state.fields
         f = update_efield(f, self.grid, self.dt / 2, self.cpml)
         f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
+        f = self._apply_damping(f)
         return state.replace(fields=f)
 
     def seg_particles(self, state: SimulationState, scalars) -> SimulationState:
         """sort/collisions/species blocks/current reduction
         (reference simulation.py:966-1080)."""
         key = scalars.get("key", jax.random.PRNGKey(0))
-        # optional sorters / collisions (phase B hooks)
         particles = list(state.particles)
-        for sorter in self.sorters:
-            particles[sorter.ispec] = sorter.apply(particles[sorter.ispec],
-                                                   scalars)
         if self.collisions is not None:
-            particles = self.collisions.apply(particles, state.fields, key)
+            particles = self._apply_collisions(particles, key)
 
         pad_eb = self.make_pad_eb()
         f = state.fields
@@ -392,10 +590,11 @@ class StepBuilder:
             new_parts.append(pnew)
             jpad_total = jpad if jpad_total is None else jpad_total + jpad
 
-        # QED particle creation (reference simulation.py:1052-1065)
+        # QED particle creation into dead slots, after all species pushed
+        # and deposited (reference simulation.py:1052-1065: deposition uses
+        # pre-recoil momenta; created particles are first pushed next step)
         for proc in self.qed_processes:
-            if proc.creates_particles:
-                new_parts = proc.create_particles(new_parts, key)
+            new_parts = self._apply_qed_creation(proc, new_parts)
 
         if jpad_total is not None:
             jred = self.make_reduce_j()(jpad_total)
@@ -410,6 +609,7 @@ class StepBuilder:
             f = laser.apply(f, self.grid, self.dt,
                             scalars.get(f"laser{i}", {}))
         f = update_efield(f, self.grid, self.dt / 2, self.cpml)
+        f = self._apply_damping(f)
         return state.replace(fields=f)
 
     def full_step(self, state: SimulationState, scalars) -> SimulationState:

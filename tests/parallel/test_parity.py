@@ -111,9 +111,11 @@ def test_migration_wraps_periodic():
     sim.run(nsteps=nsteps)
     from lambdapic_tpu.constants import c
     # electron in zero fields: ballistic (gets Boris-pushed by zero fields)
-    expected = (x0 + ux * ig * c * sim.dt * nsteps) % sim.Lx
+    # domain convention: cell centers at 0..nx-1 -> x in [-dx/2, Lx-dx/2)
+    expected = ((x0 + ux * ig * c * sim.dt * nsteps + sim.dx / 2)
+                % sim.Lx) - sim.dx / 2
     got = np.sort(sim.get_particles(0)["x"])
-    np.testing.assert_allclose(np.sort(expected), got, rtol=1e-9)
+    np.testing.assert_allclose(np.sort(expected), got, rtol=1e-9, atol=1e-12)
     assert sim.npart_alive[0] == n
 
 

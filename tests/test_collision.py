@@ -1,0 +1,162 @@
+"""Binary-collision tests (reference tests/test_collision.py:106-216):
+finiteness, exact energy/momentum conservation for equal weights, and
+temperature isotropization."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lambdapic_tpu.constants import c, e as qe, m_e
+from lambdapic_tpu.core.grid import Grid
+from lambdapic_tpu.core.species import _ALL_SPECIES
+from lambdapic_tpu.io.utils import SetTemperature
+from lambdapic_tpu.models.collision import (Collision, CollisionConfig,
+                                            CollisionPairCfg)
+
+
+@pytest.fixture(autouse=True)
+def clear_species_registry():
+    _ALL_SPECIES.clear()
+    yield
+    _ALL_SPECIES.clear()
+
+
+def make_grid(nx=8, ny=8):
+    return Grid(dimension=2, nx=nx, ny=ny, dx=1e-6, dy=1e-6,
+                npatch_x=1, npatch_y=1, n_guard=3, cpml_thickness=6,
+                boundary_conditions=(("xmin", "periodic"),
+                                     ("xmax", "periodic"),
+                                     ("ymin", "periodic"),
+                                     ("ymax", "periodic")))
+
+
+def make_particles(n, nx, ny, theta=0.1, aniso=(1.0, 1.0, 1.0), seed=0):
+    rng = np.random.default_rng(seed)
+    ux, uy, uz = SetTemperature.sample_maxwell_juttner(
+        n, theta, np.random.default_rng(seed + 1))
+    ux, uy, uz = ux * aniso[0], uy * aniso[1], uz * aniso[2]
+    data = {
+        "x": jnp.asarray(rng.uniform(-0.5, nx - 0.5, n)),
+        "y": jnp.asarray(rng.uniform(-0.5, ny - 0.5, n)),
+        "w": jnp.full(n, 1e10),
+        "ux": jnp.asarray(ux), "uy": jnp.asarray(uy), "uz": jnp.asarray(uz),
+        "inv_gamma": jnp.asarray(1 / np.sqrt(1 + ux**2 + uy**2 + uz**2)),
+    }
+    alive = jnp.ones(n, bool)
+    return data, alive
+
+
+def energy(data, alive, m):
+    g = 1.0 / np.asarray(data["inv_gamma"])
+    w = np.asarray(data["w"])
+    return float((w * g * m)[np.asarray(alive)].sum())
+
+
+def momentum(data, alive, m):
+    sel = np.asarray(alive)
+    w = np.asarray(data["w"])[sel]
+    return np.array([float((w * np.asarray(data[k])[sel]).sum() * m)
+                     for k in ("ux", "uy", "uz")])
+
+
+def test_intra_collision_conserves_energy_momentum():
+    grid = make_grid()
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 0),),
+                          species_mq=((m_e, -qe),),
+                          cell_vol=1e-18, lnLambda=2.0)
+    col = Collision(cfg, grid)
+    data, alive = make_particles(6400, 8, 8)
+    e0 = energy(data, alive, m_e)
+    p0 = momentum(data, alive, m_e)
+    out = col.apply_local({0: (data, alive)}, dt=1e-15,
+                          key=jax.random.PRNGKey(0))[0]
+    for k in ("ux", "uy", "uz", "inv_gamma"):
+        assert np.isfinite(np.asarray(out[k])).all()
+    ig = np.asarray(out["inv_gamma"])
+    assert (ig > 0).all() and (ig <= 1.0).all()
+    e1 = energy(out, alive, m_e)
+    p1 = momentum(out, alive, m_e)
+    # equal weights: every pair updates both partners -> exact conservation
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
+    scale = np.abs(np.asarray(momentum(data, alive, m_e))).max() + \
+        float(np.abs(np.asarray(data["ux"])).mean() * 1e10 * m_e)
+    np.testing.assert_allclose(p1, p0, atol=1e-9 * scale)
+    # something actually happened
+    assert not np.allclose(np.asarray(out["ux"]), np.asarray(data["ux"]))
+
+
+def test_inter_collision_conserves_energy():
+    grid = make_grid()
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 1),),
+                          species_mq=((m_e, -qe), (m_e, -qe)),
+                          cell_vol=1e-18, lnLambda=2.0)
+    col = Collision(cfg, grid)
+    d1, a1 = make_particles(3200, 8, 8, seed=10)
+    d2, a2 = make_particles(3200, 8, 8, seed=20)
+    e0 = energy(d1, a1, m_e) + energy(d2, a2, m_e)
+    out = col.apply_local({0: (d1, a1), 1: (d2, a2)}, dt=1e-15,
+                          key=jax.random.PRNGKey(1))
+    e1 = energy(out[0], a1, m_e) + energy(out[1], a2, m_e)
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
+    for out_d in out.values():
+        for k in ("ux", "uy", "uz", "inv_gamma"):
+            assert np.isfinite(np.asarray(out_d[k])).all()
+
+
+def test_intra_collision_isotropizes():
+    """Anisotropic distribution relaxes toward isotropy
+    (reference test_collision.py isotropization)."""
+    grid = make_grid(4, 4)
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 0),),
+                          species_mq=((m_e, -qe),),
+                          cell_vol=1e-18, lnLambda=5.0)
+    col = Collision(cfg, grid)
+    data, alive = make_particles(8000, 4, 4, theta=0.02,
+                                 aniso=(2.0, 0.5, 0.5))
+    def ratio(d):
+        ux = np.asarray(d["ux"])
+        uy = np.asarray(d["uy"])
+        return (ux**2).mean() / (uy**2).mean()
+
+    r0 = ratio(data)
+    assert r0 > 8
+    key = jax.random.PRNGKey(2)
+    apply = jax.jit(lambda d, a, k: col.apply_local({0: (d, a)}, 2e-15, k)[0])
+    for i in range(40):
+        data = apply(data, alive, jax.random.fold_in(key, i))
+    r1 = ratio(data)
+    assert r1 < 0.7 * r0, (r0, r1)
+
+
+def test_varying_coulomb_log():
+    """lnLambda=0 path (Debye-length based) runs and conserves energy."""
+    grid = make_grid()
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 0),),
+                          species_mq=((m_e, -qe),),
+                          cell_vol=1e-18, lnLambda=0.0)
+    col = Collision(cfg, grid)
+    data, alive = make_particles(3200, 8, 8)
+    e0 = energy(data, alive, m_e)
+    out = col.apply_local({0: (data, alive)}, dt=1e-15,
+                          key=jax.random.PRNGKey(3))[0]
+    e1 = energy(out, alive, m_e)
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
+    assert np.isfinite(np.asarray(out["ux"])).all()
+
+
+def test_collision_in_simulation():
+    """End-to-end: sim.add_collision runs inside the step without NaNs."""
+    from lambdapic_tpu import Electron, Proton, Simulation
+    nc = 1.742e27
+    e1 = Electron(density=lambda x, y: 10 * nc, ppc=8)
+    pro = Proton(density=lambda x, y: 10 * nc, ppc=8)
+    bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
+    sim = Simulation(nx=16, ny=16, dx=1e-7, dy=1e-7, npatch_x=2, npatch_y=2,
+                     boundary_conditions=bc, random_seed=0,
+                     precision="double")
+    sim.add_species([e1, pro])
+    sim.add_collision([[e1, e1, pro]], lnLambda=2.0)
+    sim.run(nsteps=2, callbacks=[SetTemperature(e1, 1000.0)])
+    for k in ("ux", "uy"):
+        assert np.isfinite(sim.get_particles(0)[k]).all()
+        assert np.isfinite(sim.get_particles(1)[k]).all()
