@@ -10,6 +10,25 @@ particles, counter-based RNG.
 Public API mirrors the reference (src/lambdapic/__init__.py:1-25) so user
 scripts port with the same species/laser/grid setup.
 """
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: PIC steps are large XLA programs and every
+# process would otherwise pay the full compile. Opt out with
+# LAMBDAPIC_NO_COMPILE_CACHE=1.
+if not _os.environ.get("LAMBDAPIC_NO_COMPILE_CACHE"):
+    try:
+        _cache_dir = _os.environ.get(
+            "LAMBDAPIC_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "lambdapic_tpu_jax"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .constants import c, e, epsilon_0, h, hbar, k_B, m_e, m_p, mu_0, pi
 from .core.species import Electron, Photon, Positron, Proton, Species
 from .io.hdf5 import (ExtractSpeciesDensity, SaveFieldsToHDF5,

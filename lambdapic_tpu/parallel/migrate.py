@@ -92,16 +92,19 @@ def migrate_axis(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
 
 def sanitize_dead(data: Dict[str, jnp.ndarray], alive: jnp.ndarray
                   ) -> Dict[str, jnp.ndarray]:
-    """Clamp dead slots so downstream kernels are no-ops: w=0, in-range
-    position, unit inv_gamma, zero momentum/fields."""
+    """Clamp dead slots so downstream kernels are no-ops.
+
+    Only the attributes kernels actually read from dead slots need
+    clamping: w=0 (all deposits scale with w), in-range positions (gather/
+    deposit indexing), unit inv_gamma and zero momentum (velocity products,
+    QED chi). Stale field/QED attributes on dead slots are harmless and
+    skipping them halves the memory traffic of this pass."""
     out = dict(data)
-    for k, v in data.items():
-        if k in ("id_lo", "id_hi"):
-            continue
-        if k == "inv_gamma":
-            out[k] = jnp.where(alive, v, jnp.ones_like(v))
-        else:
-            out[k] = jnp.where(alive, v, jnp.zeros_like(v))
+    for k in ("x", "y", "z", "w", "ux", "uy", "uz", "tau", "event"):
+        if k in data:
+            out[k] = jnp.where(alive, data[k], jnp.zeros_like(data[k]))
+    out["inv_gamma"] = jnp.where(alive, data["inv_gamma"],
+                                 jnp.ones_like(data["inv_gamma"]))
     return out
 
 

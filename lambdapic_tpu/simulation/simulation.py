@@ -210,6 +210,21 @@ class Simulation:
                 f"{[s.name for s in compatible]}")
             self.add_species(compatible)
 
+    def set_enabled(self, component: str, enabled: bool = True):
+        """Runtime operator toggle (reference EnableMixin,
+        core/utils/enable_mixin.py:4-38): component in {'maxwell', 'pusher',
+        'interpolation', 'current_deposition', 'qed', 'collisions'}.
+        Takes effect on the next run() (recompiles the step)."""
+        valid = {"maxwell", "pusher", "interpolation", "current_deposition",
+                 "qed", "collisions"}
+        if component not in valid:
+            raise ValueError(f"component must be one of {sorted(valid)}")
+        if not hasattr(self, "_switches"):
+            self._switches = {}
+        self._switches[component] = enabled
+        if hasattr(self, "_full_step"):
+            del self._full_step  # force stepper rebuild on next run
+
     def add_collision(self, groups, lnLambda: float = 0.0):
         """Register collision groups (reference Collision,
         core/collision/collision.py:22-63): every unordered pair of species
@@ -377,7 +392,8 @@ class Simulation:
             grid=self.grid, mesh=self.mesh, cpml=self.cpml, dt=self.dt,
             species=self._species_static, lasers=lasers,
             qed_processes=getattr(self, "_qed_processes", ()),
-            collisions=collisions)
+            collisions=collisions,
+            switches=getattr(self, "_switches", None))
         self._builder = builder
         self._rho_fns = {}
         (self._full_step, self._seg1, self._seg2, self._seg3) = \

@@ -65,7 +65,16 @@ class StepBuilder:
     def __init__(self, grid: Grid, mesh, cpml: Optional[CPMLCoeffs],
                  dt: float, species: Sequence[SpeciesStatic],
                  lasers: Sequence = (), qed_processes: Sequence = (),
-                 sorters: Sequence = (), collisions=None):
+                 sorters: Sequence = (), collisions=None,
+                 switches: Optional[Dict[str, bool]] = None):
+        # runtime operator toggles (reference EnableMixin,
+        # core/utils/enable_mixin.py:4-38): maxwell, pusher,
+        # current_deposition, qed, collisions, interpolation
+        self.switches = dict(maxwell=True, pusher=True,
+                             current_deposition=True, qed=True,
+                             collisions=True, interpolation=True)
+        if switches:
+            self.switches.update(switches)
         self.grid = grid
         self.mesh = mesh
         self.cpml = cpml
@@ -161,9 +170,13 @@ class StepBuilder:
                 didx = didx * size + jax.lax.axis_index(name)
             key = jax.random.fold_in(key, didx)
 
+            push_on = self.switches["pusher"]
             # position half push (reference stage _push_position_1)
             ig = data["inv_gamma"]
-            if ndim == 2:
+            if not push_on:
+                pos = (data["x"], data["y"]) if ndim == 2 else (
+                    data["x"], data["y"], data["z"])
+            elif ndim == 2:
                 x, y = push_position_2d(data["x"], data["y"], data["ux"],
                                         data["uy"], ig, cdt[0] / 2, cdt[1] / 2)
                 pos = (x, y)
@@ -173,20 +186,35 @@ class StepBuilder:
                                        cdt[0] / 2, cdt[1] / 2, cdt[2] / 2)
 
             # gather (reference stage _interpolator)
-            if ndim == 2:
-                eb_p = gather_eb_2d(*[eb_pad[i] for i in range(6)], *pos, g)
+            if self.switches["interpolation"]:
+                if ndim == 2:
+                    eb_p = gather_eb_2d(*[eb_pad[i] for i in range(6)],
+                                        *pos, g)
+                else:
+                    eb_p = gather_eb_3d(*[eb_pad[i] for i in range(6)],
+                                        *pos, g)
+                for name, v in zip(("ex_part", "ey_part", "ez_part",
+                                    "bx_part", "by_part", "bz_part"), eb_p):
+                    data[name] = v
             else:
-                eb_p = gather_eb_3d(*[eb_pad[i] for i in range(6)], *pos, g)
-            for name, v in zip(("ex_part", "ey_part", "ez_part",
-                                "bx_part", "by_part", "bz_part"), eb_p):
-                data[name] = v
+                eb_p = tuple(data[name] for name in
+                             ("ex_part", "ey_part", "ez_part",
+                              "bx_part", "by_part", "bz_part"))
 
             # QED chi update + event sampling (reference stage _qed)
-            for proc in qed:
-                data, alive = proc.update_chi_and_events(data, alive, key, dt)
+            if self.switches["qed"]:
+                for proc in qed:
+                    data, alive = proc.update_chi_and_events(data, alive,
+                                                             key, dt)
 
             # momentum push (reference stage _push_momentum)
-            if sp.pusher == "boris":
+            if not push_on:
+                ux, uy, uz = data["ux"], data["uy"], data["uz"]
+                ig = data["inv_gamma"]
+            elif sp.pusher in ("boris", "boris+tbmt"):
+                # 'boris+tbmt': momentum pushed with Boris; TBMT spin
+                # precession is a stub in the reference too
+                # (pusher/pusher.py:149-168 BorisTBMTPusher.__call__ = ...)
                 ux, uy, uz, ig = boris_push(
                     data["ux"], data["uy"], data["uz"], *eb_p,
                     sp.q, sp.m, dt)
@@ -197,7 +225,9 @@ class StepBuilder:
                 raise NotImplementedError(f"pusher {sp.pusher}")
 
             # position half push (reference stage _push_position_2)
-            if ndim == 2:
+            if not push_on:
+                pass
+            elif ndim == 2:
                 x, y = push_position_2d(pos[0], pos[1], ux, uy, ig,
                                         cdt[0] / 2, cdt[1] / 2)
                 pos = (x, y)
@@ -214,7 +244,7 @@ class StepBuilder:
 
             # Esirkepov deposition (reference stage current_deposition)
             w = jnp.where(alive, data["w"], 0.0)
-            if sp.q != 0.0:
+            if sp.q != 0.0 and self.switches["current_deposition"]:
                 if ndim == 2:
                     j4 = deposit_2d(pos[0], pos[1], ux, uy, uz, ig, w,
                                     q=sp.q, dx=grid.dx, dy=grid.dy, dt=dt,
@@ -563,9 +593,10 @@ class StepBuilder:
     def seg_fields_1(self, state: SimulationState, scalars) -> SimulationState:
         """E += dt/2 ; B += dt/2 (reference simulation.py:946-960)."""
         f = state.fields
-        f = update_efield(f, self.grid, self.dt / 2, self.cpml)
-        f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
-        f = self._apply_damping(f)
+        if self.switches["maxwell"]:
+            f = update_efield(f, self.grid, self.dt / 2, self.cpml)
+            f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
+            f = self._apply_damping(f)
         return state.replace(fields=f)
 
     def seg_particles(self, state: SimulationState, scalars) -> SimulationState:
@@ -573,7 +604,7 @@ class StepBuilder:
         (reference simulation.py:966-1080)."""
         key = scalars.get("key", jax.random.PRNGKey(0))
         particles = list(state.particles)
-        if self.collisions is not None:
+        if self.collisions is not None and self.switches["collisions"]:
             particles = self._apply_collisions(particles, key)
 
         pad_eb = self.make_pad_eb()
@@ -593,8 +624,9 @@ class StepBuilder:
         # QED particle creation into dead slots, after all species pushed
         # and deposited (reference simulation.py:1052-1065: deposition uses
         # pre-recoil momenta; created particles are first pushed next step)
-        for proc in self.qed_processes:
-            new_parts = self._apply_qed_creation(proc, new_parts)
+        if self.switches["qed"]:
+            for proc in self.qed_processes:
+                new_parts = self._apply_qed_creation(proc, new_parts)
 
         if jpad_total is not None:
             jred = self.make_reduce_j()(jpad_total)
@@ -604,12 +636,14 @@ class StepBuilder:
     def seg_fields_2(self, state: SimulationState, scalars) -> SimulationState:
         """B += dt/2 ; lasers ; E += dt/2 (reference simulation.py:1097-1118)."""
         f = state.fields
-        f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
+        if self.switches["maxwell"]:
+            f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
         for i, laser in enumerate(self.lasers):
             f = laser.apply(f, self.grid, self.dt,
                             scalars.get(f"laser{i}", {}))
-        f = update_efield(f, self.grid, self.dt / 2, self.cpml)
-        f = self._apply_damping(f)
+        if self.switches["maxwell"]:
+            f = update_efield(f, self.grid, self.dt / 2, self.cpml)
+            f = self._apply_damping(f)
         return state.replace(fields=f)
 
     def full_step(self, state: SimulationState, scalars) -> SimulationState:
