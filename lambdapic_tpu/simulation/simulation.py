@@ -405,6 +405,58 @@ class Simulation:
             sc[f"laser{i}"] = laser.host_scalars(self)
         return sc
 
+    # -- chunked stepping (lax.scan over K steps, one dispatch) ----------
+    CHUNK_SIZES = (16, 4)
+
+    def _steps_until_host_event(self, cbs, max_k: int,
+                                stop_callback) -> int:
+        """How many upcoming steps are free of host callbacks, so they can
+        be fused into one scanned kernel."""
+        if stop_callback is not None:
+            return 1
+        if any(cbs.by_stage[s] for s in ("start", "maxwell_1",
+                                         "current_deposition",
+                                         "qed_create_particles",
+                                         "maxwell_2", "end")):
+            # conservative: simulate the trigger check per step
+            class _Shim:
+                pass
+            shim = _Shim()
+            shim.dt = self.dt
+            for k in range(max_k):
+                shim.itime = self.itime + k
+                shim.time = self.time + k * self.dt
+                for s in ("start", "maxwell_1", "current_deposition",
+                          "qed_create_particles", "maxwell_2", "end"):
+                    for cb in cbs.by_stage[s]:
+                        try:
+                            if cb._interval_triggered(shim):
+                                return max(k, 1)
+                        except Exception:
+                            return 1
+            return max_k
+        return max_k
+
+    def _get_multi_step(self, k: int):
+        if not hasattr(self, "_multi_steps"):
+            self._multi_steps = {}
+        if k not in self._multi_steps:
+            self._multi_steps[k] = jax.jit(self._builder.multi_step,
+                                           donate_argnums=(0,))
+        return self._multi_steps[k]
+
+    def _stacked_scalars(self, lasers, k: int) -> dict:
+        itime0, time0 = self.itime, self.time
+        scs = []
+        try:
+            for j in range(k):
+                self.itime = itime0 + j
+                self.time = time0 + j * self.dt
+                scs.append(self._scalars(lasers))
+        finally:
+            self.itime, self.time = itime0, time0
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *scs)
+
     def _handle_nsteps(self, nsteps, sim_time):
         """(reference simulation.py:1190-1210)"""
         if nsteps is not None and sim_time is not None:

@@ -652,6 +652,16 @@ class StepBuilder:
         state = self.seg_fields_2(state, scalars)
         return state
 
+    def multi_step(self, state: SimulationState, scalars_stacked
+                   ) -> SimulationState:
+        """K steps fused into one executable via lax.scan — the TPU-native
+        analog of running without per-step host dispatch. ``scalars_stacked``
+        is the per-step scalars pytree with a leading K axis."""
+        def body(s, sc):
+            return self.full_step(s, sc), None
+
+        return jax.lax.scan(body, state, scalars_stacked)[0]
+
     def compile(self):
         """Return (full, seg1, seg2, seg3) jitted with donation."""
         jopts = dict(donate_argnums=(0,))
