@@ -22,9 +22,15 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu-fallback-size", type=int, default=128,
                     help="problem size if no accelerator is present")
+    ap.add_argument("--tiling", type=str, default="16,16",
+                    help="'TX,TY' tile-binned dense path (default), or "
+                         "'none' for the scatter/gather path")
     args = ap.parse_args()
+    tiling = None if args.tiling == "none" else tuple(
+        int(v) for v in args.tiling.split(","))
 
     os.environ.setdefault("LAMBDAPIC_LOG_LEVEL", "WARNING")
+    os.environ.setdefault("LAMBDAPIC_COMPILE_CACHE", "1")
     import jax
     on_accel = jax.default_backend() not in ("cpu",)
     if not on_accel:
@@ -49,7 +55,7 @@ def main():
     pro = Proton(density=density, ppc=args.ppc)
     sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
                      npatch_x=1, npatch_y=1, random_seed=0,
-                     precision="single")
+                     precision="single", tiling=tiling)
     sim.add_species([ele, pro])
     laser = SimpleLaser2D(a0=30, w0=3 * um, ctau=8 * um)
 
@@ -73,6 +79,7 @@ def main():
             "backend": jax.default_backend(),
             "nx": args.nx, "ny": args.ny, "npart": int(npart),
             "steps_per_sec": float(f"{steps_per_sec:.4g}"),
+            "tiling": args.tiling,
         },
     }
     print(json.dumps(result))

@@ -15,9 +15,11 @@ import os as _os
 import jax as _jax
 
 # Persistent compilation cache: PIC steps are large XLA programs and every
-# process would otherwise pay the full compile. Opt out with
-# LAMBDAPIC_NO_COMPILE_CACHE=1.
-if not _os.environ.get("LAMBDAPIC_NO_COMPILE_CACHE"):
+# process would otherwise pay the full compile. Opt IN with
+# LAMBDAPIC_COMPILE_CACHE=1 (bench.py does); kept off by default because
+# XLA:CPU AOT cache entries can be rejected/crash on machine-feature
+# mismatches.
+if _os.environ.get("LAMBDAPIC_COMPILE_CACHE"):
     try:
         _cache_dir = _os.environ.get(
             "LAMBDAPIC_CACHE_DIR",

@@ -72,14 +72,23 @@ def _axis_shapes(x: jnp.ndarray, v_c: jnp.ndarray):
     """S0, S1, DS (each (..., 5)) and base index i0 for one axis.
 
     x: position in cell units, v_c: velocity in cell units per dt.
+
+    S0 and S1 are evaluated through ONE stacked call so XLA applies the
+    identical fused expression to both: S1-S0 is then bitwise zero for
+    stationary particles. Evaluating them through different expression
+    trees lets fusion (FMA contraction) produce eps-level differences that
+    the q w/(d dt) factor amplifies into spurious currents — the same
+    bitwise-identity concern the reference engineered around
+    (current_deposit.h:26-27).
     """
     x0 = x - 0.5 * v_c
     x1 = x + 0.5 * v_c
     i0 = jnp.floor(x0 + 0.5).astype(jnp.int32)
     i1 = jnp.floor(x1 + 0.5).astype(jnp.int32)
-    s0 = shape5_s0(i0.astype(x.dtype) - x0)
-    s1 = shape5_shifted(i1.astype(x.dtype) - x1, i1 - i0)
-    return s0, s1, s1 - s0, i0
+    dd = jnp.stack([i0.astype(x.dtype) - x0, i1.astype(x.dtype) - x1])
+    sh = jnp.stack([jnp.zeros_like(i0), i1 - i0])
+    s = shape5_shifted(dd, sh)
+    return s[0], s[1], s[1] - s[0], i0
 
 
 # Particles per scan chunk: bounds the (chunk, 5, 5[,5]) stencil

@@ -167,6 +167,52 @@ def distribute_global_particles(grid: Grid, sp: Species,
     return arrays, counts, cap
 
 
+def bin_tiled(arrays: Dict[str, np.ndarray], counts: np.ndarray,
+              grid: Grid, tx: int, ty: int, factor: float = 2.0,
+              cap_t: Optional[int] = None):
+    """Re-bin flat per-device particle arrays (mesh_shape + (cap,)) into the
+    tiled layout mesh_shape + (ntx, nty, cap_t) for ops/tiled2d.py."""
+    ntx, nty = grid.nx_loc // tx, grid.ny_loc // ty
+    mshape = grid.mesh_shape
+    # per-tile occupancy to size cap_t
+    occ_max = 0
+    tiles = {}
+    for dev in np.ndindex(mshape):
+        n = int(counts[dev])
+        x = arrays["x"][dev][:n]
+        y = arrays["y"][dev][:n]
+        ti = np.clip((np.floor(x + 0.5) // tx).astype(int), 0, ntx - 1)
+        tj = np.clip((np.floor(y + 0.5) // ty).astype(int), 0, nty - 1)
+        flat = ti * nty + tj
+        order = np.argsort(flat, kind="stable")
+        occ = np.bincount(flat, minlength=ntx * nty)
+        occ_max = max(occ_max, int(occ.max()) if occ.size else 0)
+        tiles[dev] = (order, flat[order], occ)
+    if cap_t is None:
+        cap_t = max(128, int(np.ceil(occ_max * factor / 128) * 128))
+
+    out = {k: np.zeros(mshape + (ntx, nty, cap_t), dtype=v.dtype)
+           for k, v in arrays.items()}
+    out["inv_gamma"][...] = 1.0
+    tcounts = np.zeros(mshape + (ntx, nty), dtype=np.int64)
+    for dev in np.ndindex(mshape):
+        order, flat_sorted, occ = tiles[dev]
+        starts = np.concatenate([[0], np.cumsum(occ)])
+        for t in range(ntx * nty):
+            sel = order[starts[t]:starts[t + 1]]
+            m = len(sel)
+            if m > cap_t:
+                raise ValueError(
+                    f"tile capacity {cap_t} exceeded ({m}) on device {dev}")
+            tij = (t // nty, t % nty)
+            for k, v in arrays.items():
+                out[k][dev][tij][:m] = v[dev][sel]
+            tcounts[dev][tij] = m
+    alive = (np.arange(cap_t) <
+             tcounts[..., None]).astype(bool)
+    return out, alive, cap_t
+
+
 def pick_capacity(counts: np.ndarray, factor: float, minimum: int = 128
                   ) -> int:
     """Uniform per-device capacity: headroom for QED creation/migration,

@@ -114,6 +114,9 @@ class Simulation:
     precision: str = "single"
     particle_capacity_factor: float = 2.0
     migration_buffer: Optional[int] = None
+    # TPU extra: tile-binned dense particle path (ops/tiled2d.py).
+    # (TX, TY) cells per tile; None = reference-layout scatter/gather path.
+    tiling: Optional[tuple] = None
 
     dimension = 2
 
@@ -281,6 +284,8 @@ class Simulation:
         fsh = pmesh.field_sharding(self.mesh)
         fields = jax.tree.map(lambda a: jax.device_put(a, fsh), fields)
 
+        if self.tiling is not None:
+            self._validate_tiling()
         seed = self._config.random_seed if self._config.random_seed is not None else 0
         parts = []
         self._species_static = []
@@ -292,8 +297,17 @@ class Simulation:
             if sp.capacity is not None:
                 cap = max(cap, int(np.ceil(sp.capacity / 128) * 128))
             arrays, counts = fill_species(self.grid, sp, seed, ispec, cap)
-            pst = particles_from_numpy(self.grid, sp, arrays, counts, cap,
-                                       dtype=dtype)
+            tile_cap = 0
+            if self.tiling is not None:
+                from .initfill import bin_tiled
+                arrays, alive_np, tile_cap = bin_tiled(
+                    arrays, counts, self.grid, *self.tiling,
+                    factor=self._config.particle_capacity_factor)
+                pst = self._tiled_state(sp, arrays, alive_np, dtype)
+                cap = tile_cap
+            else:
+                pst = particles_from_numpy(self.grid, sp, arrays, counts,
+                                           cap, dtype=dtype)
             pst = ParticlesState(
                 data={k: jax.device_put(v, psh) for k, v in pst.data.items()},
                 alive=jax.device_put(pst.alive, psh),
@@ -307,15 +321,57 @@ class Simulation:
                 buf = int(np.ceil(buf / 128) * 128)
             self._species_static.append(SpeciesStatic(
                 name=sp.name, q=sp.q, m=sp.m, pusher=sp.pusher, cap=cap,
-                migration_buf=min(buf, cap), has_qed=sp.has_qed))
+                migration_buf=min(buf, cap), has_qed=sp.has_qed,
+                tile_cap=tile_cap))
             logger.info(f"Species {sp.name}: {int(counts.sum()):,} macro "
-                        f"particles, capacity {cap}/device, migration buffer "
-                        f"{min(buf, cap)}")
+                        f"particles, capacity {cap}/"
+                        + ("tile" if self.tiling else
+                           f"device, migration buffer {min(buf, cap)}"))
 
         self.state = SimulationState(fields=fields, particles=tuple(parts))
         self._init_qed()
         self.initialized = True
         logger.info("Initialization complete")
+
+    def _validate_tiling(self):
+        tx, ty = self.tiling
+        g = self.grid
+        if g.dimension != 2:
+            raise NotImplementedError("tiling is 2D-only for now")
+        if g.nx_loc % tx or g.ny_loc % ty:
+            raise ValueError(
+                f"per-device grid ({g.nx_loc}x{g.ny_loc}) must be divisible "
+                f"by the tile size ({tx}x{ty})")
+        if tx < 2 * g.n_guard or ty < 2 * g.n_guard:
+            raise ValueError("tile size must be >= 2*n_guard")
+        if getattr(self, "_collision_groups", None):
+            raise NotImplementedError("tiling does not support collisions yet")
+        for sp in self.species:
+            if sp.has_qed:
+                raise NotImplementedError("tiling does not support QED yet")
+
+    def _tiled_state(self, sp, arrays, alive_np, dtype):
+        """Build a ParticlesState from tiled host arrays
+        (mesh_shape + (ntx, nty, cap_t))."""
+        mshape = self.grid.mesh_shape
+        data = {}
+        for attr in sp.attrs():
+            a = arrays.get(attr)
+            if a is None:
+                a = np.zeros(alive_np.shape, dtype=np.float64)
+            data[attr] = jnp.asarray(a, dtype=dtype)
+        shape = alive_np.shape
+        iota = np.arange(int(np.prod(shape[len(mshape):])),
+                         dtype=np.uint32).reshape(shape[len(mshape):])
+        data["id_lo"] = jnp.asarray(np.broadcast_to(iota, shape).copy())
+        dev = np.arange(int(np.prod(mshape)), dtype=np.uint32).reshape(mshape)
+        dev = dev.reshape(mshape + (1,) * (len(shape) - len(mshape)))
+        data["id_hi"] = jnp.asarray(np.broadcast_to(dev, shape).copy())
+        return ParticlesState(
+            data=data, alive=jnp.asarray(alive_np),
+            next_id=jnp.asarray(
+                alive_np.reshape(mshape + (-1,)).sum(-1).astype(np.uint32)),
+            overflow=jnp.zeros(mshape, dtype=jnp.int32))
 
     def _init_qed(self):
         """Build QED processes from species wiring (reference
@@ -388,12 +444,20 @@ class Simulation:
                 lnLambda=getattr(self, "_collision_lnLambda", 0.0))
             collisions = Collision(cfg, self.grid)
             logger.info(f"collisions: {len(pairs)} species pairs")
+        tile_cfg = None
+        if self.tiling is not None:
+            from ..ops.tiled2d import TileCfg
+            tx, ty = self.tiling
+            tile_cfg = TileCfg(tx=tx, ty=ty, ntx=self.grid.nx_loc // tx,
+                               nty=self.grid.ny_loc // ty, cap_t=0,
+                               h=self.grid.n_guard)
         builder = StepBuilder(
             grid=self.grid, mesh=self.mesh, cpml=self.cpml, dt=self.dt,
             species=self._species_static, lasers=lasers,
             qed_processes=getattr(self, "_qed_processes", ()),
             collisions=collisions,
-            switches=getattr(self, "_switches", None))
+            switches=getattr(self, "_switches", None),
+            tile_cfg=tile_cfg)
         self._builder = builder
         self._rho_fns = {}
         (self._full_step, self._seg1, self._seg2, self._seg3) = \
@@ -570,11 +634,13 @@ class Simulation:
         """Flattened host copies of alive particles of one species."""
         jax.block_until_ready(self.state)
         p = self.state.particles[ispec]
+        grid = self.grid
+        nd = grid.dimension
         alive = np.asarray(p.alive).reshape(-1)
         out = {}
-        grid = self.grid
         for k, v in p.data.items():
-            a = np.asarray(v)
+            # flatten any sub-device structure (e.g. tiles) into one axis
+            a = np.asarray(v).reshape(v.shape[:nd] + (-1,))
             if k in ("x", "y", "z")[: grid.dimension]:
                 # convert local cell units to global SI
                 ax = {"x": 0, "y": 1, "z": 2}[k]

@@ -38,6 +38,8 @@ from ..ops.interpolation import gather_eb_2d, gather_eb_3d
 from ..ops.maxwell import update_bfield, update_efield
 from ..ops.pusher import (boris_push, photon_push, push_position_2d,
                           push_position_3d)
+from ..ops.tiled2d import (TileCfg, deposit_tiled, extract_windows,
+                           fold_windows, gather_tiled, migrate_tiled)
 from ..parallel.halo import HaloSpec, halo_pad, halo_reduce
 from ..parallel.migrate import migrate_2d, migrate_3d
 from ..constants import c as c_light
@@ -59,6 +61,7 @@ class SpeciesStatic:
     cap: int
     migration_buf: int
     has_qed: bool = False
+    tile_cap: int = 0    # per-tile capacity when the tiled path is active
 
 
 class StepBuilder:
@@ -66,7 +69,11 @@ class StepBuilder:
                  dt: float, species: Sequence[SpeciesStatic],
                  lasers: Sequence = (), qed_processes: Sequence = (),
                  sorters: Sequence = (), collisions=None,
-                 switches: Optional[Dict[str, bool]] = None):
+                 switches: Optional[Dict[str, bool]] = None,
+                 tile_cfg: Optional[TileCfg] = None):
+        # tile-binned dense particle path (ops/tiled2d.py); None = the
+        # reference-layout scatter/gather path
+        self.tile_cfg = tile_cfg
         # runtime operator toggles (reference EnableMixin,
         # core/utils/enable_mixin.py:4-38): maxwell, pusher,
         # current_deposition, qed, collisions, interpolation
@@ -156,11 +163,20 @@ class StepBuilder:
         axis_names = grid.axis_names
         mesh_shape = grid.mesh_shape
 
+        tile_cfg = self.tile_cfg
+        if tile_cfg is not None:
+            import dataclasses as _dc
+            tile_cfg = _dc.replace(tile_cfg, cap_t=sp.tile_cap)
+
         def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
-            lead = alive.shape[:-1]          # (1,) * ndim
+            lead = alive.shape[:ndim]        # (1,) * ndim device axes
+            if tile_cfg is not None:
+                shape = (tile_cfg.ntx, tile_cfg.nty, tile_cfg.cap_t)
+            else:
+                shape = (alive.shape[-1],)
             cap = alive.shape[-1]
-            data = {k: v.reshape(cap) for k, v in data.items()}
-            alive = alive.reshape(cap)
+            data = {k: v.reshape(shape) for k, v in data.items()}
+            alive = alive.reshape(shape)
             next_id = next_id.reshape(())
             overflow = overflow.reshape(())
             # per-device RNG stream (analog of per-patch rng.spawn,
@@ -187,7 +203,10 @@ class StepBuilder:
 
             # gather (reference stage _interpolator)
             if self.switches["interpolation"]:
-                if ndim == 2:
+                if tile_cfg is not None:
+                    windows = extract_windows(eb_pad, tile_cfg)
+                    eb_p = gather_tiled(windows, pos[0], pos[1], tile_cfg)
+                elif ndim == 2:
                     eb_p = gather_eb_2d(*[eb_pad[i] for i in range(6)],
                                         *pos, g)
                 else:
@@ -245,22 +264,32 @@ class StepBuilder:
             # Esirkepov deposition (reference stage current_deposition)
             w = jnp.where(alive, data["w"], 0.0)
             if sp.q != 0.0 and self.switches["current_deposition"]:
-                if ndim == 2:
-                    j4 = deposit_2d(pos[0], pos[1], ux, uy, uz, ig, w,
-                                    q=sp.q, dx=grid.dx, dy=grid.dy, dt=dt,
-                                    nx_loc=nloc[0], ny_loc=nloc[1], g=g)
+                if tile_cfg is not None:
+                    win = deposit_tiled(pos[0], pos[1], ux, uy, uz, ig, w,
+                                        tile_cfg, q=sp.q, dx=grid.dx,
+                                        dy=grid.dy, dt=dt)
+                    jpad = fold_windows(win, tile_cfg)
                 else:
-                    j4 = deposit_3d(*pos, ux, uy, uz, ig, w,
-                                    q=sp.q, dx=grid.dx, dy=grid.dy,
-                                    dz=grid.dz, dt=dt, nx_loc=nloc[0],
-                                    ny_loc=nloc[1], nz_loc=nloc[2], g=g)
-                jpad = jnp.stack(j4, axis=0)
+                    if ndim == 2:
+                        j4 = deposit_2d(pos[0], pos[1], ux, uy, uz, ig, w,
+                                        q=sp.q, dx=grid.dx, dy=grid.dy,
+                                        dt=dt, nx_loc=nloc[0],
+                                        ny_loc=nloc[1], g=g)
+                    else:
+                        j4 = deposit_3d(*pos, ux, uy, uz, ig, w,
+                                        q=sp.q, dx=grid.dx, dy=grid.dy,
+                                        dz=grid.dz, dt=dt, nx_loc=nloc[0],
+                                        ny_loc=nloc[1], nz_loc=nloc[2], g=g)
+                    jpad = jnp.stack(j4, axis=0)
             else:
                 pshape = tuple(n + 2 * g for n in nloc)
                 jpad = jnp.zeros((4,) + pshape, dtype=pos[0].dtype)
 
             # migration (reference patches.sync_particles + MPI variant)
-            if ndim == 2:
+            if tile_cfg is not None:
+                data, alive, lost = migrate_tiled(data, alive, tile_cfg,
+                                                  specs, nloc[0], nloc[1])
+            elif ndim == 2:
                 data, alive, lost = migrate_2d(data, alive, specs,
                                                nloc[0], nloc[1],
                                                sp.migration_buf)
@@ -281,8 +310,8 @@ class StepBuilder:
                 alive = alive & inside
                 data["w"] = jnp.where(alive, data["w"], 0.0)
 
-            data = {k: v.reshape(lead + (cap,)) for k, v in data.items()}
-            alive = alive.reshape(lead + (cap,))
+            data = {k: v.reshape(lead + shape) for k, v in data.items()}
+            alive = alive.reshape(lead + shape)
             next_id = next_id.reshape(lead)
             overflow = overflow.reshape(lead)
             return data, alive, next_id, overflow, jpad
@@ -324,9 +353,10 @@ class StepBuilder:
         q = sp.q if sp.q != 0.0 else 1.0   # photons: use unit charge
 
         def local(data, alive):
-            cap = alive.shape[-1]
-            d = {k: v.reshape(cap) for k, v in data.items()}
-            alive = alive.reshape(cap)
+            # flatten any sub-device structure (tiles) — positions are
+            # device-local in both layouts
+            d = {k: v.reshape(-1) for k, v in data.items()}
+            alive = alive.reshape(-1)
             w = jnp.where(alive, d["w"], 0.0)
             if ndim == 2:
                 j4 = deposit_2d(d["x"], d["y"], d["ux"], d["uy"], d["uz"],

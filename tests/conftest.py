@@ -9,9 +9,29 @@ import jax
 # must happen before the backend is initialized
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual devices on few host cores: device threads can miss the default
+# 40 s collective rendezvous under load, and XLA aborts the process
+# ("Termination timeout for collective permute") — raise the timeouts.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 os.environ.setdefault("LAMBDAPIC_LOG_LEVEL", "WARNING")
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Every Simulation test compiles fresh multi-device executables; without
+    freeing them the suite eventually aborts in XLA (host memory)."""
+    yield
+    jax.clear_caches()
+    gc.collect()

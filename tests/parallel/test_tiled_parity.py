@@ -1,0 +1,65 @@
+"""Tiled engine == untiled engine, end-to-end through the Simulation.
+
+The tile-binned MXU path (ops/tiled2d.py) must reproduce the
+reference-faithful scatter/gather path over full multi-step, multi-device
+runs: fields match and the particle phase space is the same multiset.
+"""
+import numpy as np
+import pytest
+
+from lambdapic_tpu import Electron, Proton, SimpleLaser2D, Simulation
+from lambdapic_tpu.core.species import _ALL_SPECIES
+
+um = 1e-6
+l0 = 0.8 * um
+nc = 1.742e27
+
+
+@pytest.fixture(autouse=True)
+def clear_species_registry():
+    _ALL_SPECIES.clear()
+    yield
+    _ALL_SPECIES.clear()
+
+
+def run_case(tiling, periodic, nsteps=6, mesh=(2, 2), seed=11):
+    _ALL_SPECIES.clear()
+    if periodic:
+        bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
+    else:
+        bc = {k: "pml" for k in ("xmin", "xmax", "ymin", "ymax")}
+
+    def density(x, y):
+        return np.where((x > 1.2 * um) & (x < 4 * um), 3 * nc, 0.0)
+
+    ele = Electron(density=density, ppc=3)
+    pro = Proton(density=density, ppc=3)
+    sim = Simulation(nx=64, ny=64, dx=l0 / 10, dy=l0 / 10,
+                     npatch_x=mesh[0], npatch_y=mesh[1],
+                     boundary_conditions=bc, random_seed=seed,
+                     precision="double", tiling=tiling)
+    sim.add_species([ele, pro])
+    laser = SimpleLaser2D(a0=8, w0=2 * um, ctau=2 * um)
+    cbs = [] if periodic else [laser]
+    sim.run(nsteps=nsteps, callbacks=cbs)
+    fields = {n: sim.get_field(n) for n in
+              ("ex", "ey", "ez", "bx", "by", "bz", "jx", "jy", "jz", "rho")}
+    parts = [sim.get_particles(i) for i in range(2)]
+    return fields, parts
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_tiled_matches_untiled(periodic):
+    f_ref, p_ref = run_case(None, periodic)
+    f_til, p_til = run_case((16, 16), periodic)
+    for name in f_ref:
+        scale = np.abs(f_ref[name]).max() + 1e-30
+        np.testing.assert_allclose(f_til[name], f_ref[name],
+                                   atol=1e-9 * scale, err_msg=name)
+    for i in range(2):
+        for k in ("x", "y", "ux", "uy", "uz", "w"):
+            a = np.sort(p_ref[i][k])
+            b = np.sort(p_til[i][k])
+            assert a.shape == b.shape, (i, k)
+            np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"species {i} {k}")
