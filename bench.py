@@ -1,8 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: macroparticle pushes/sec/chip on the 2D laser-target config
-(BASELINE.md: example/laser-target.py analog; target >= 1e9 pushes/s/chip).
+"""Benchmarks for the BASELINE configs (BASELINE.md):
+
+    laser-target    2D laser-solid target (default; headline metric)
+    vacuum          2D Gaussian laser in vacuum (FDTD + injection)
+    lwfa            underdense plasma + moving window
+    qed             QED cascade (photon emission)
+    laser-target-3d 3D laser-solid target
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+vs_baseline is value / 1e9 pushes/s (the driver target) for particle configs,
+or steps/sec for the vacuum config.
 """
 import argparse
 import json
@@ -13,74 +20,147 @@ import time
 import numpy as np
 
 
+def build(config, args):
+    from lambdapic_tpu import (Electron, Photon, Proton, Simulation,
+                               Simulation3D, SimpleLaser2D, SimpleLaser3D,
+                               MovingWindow)
+    from lambdapic_tpu.constants import c
+
+    um = 1e-6
+    nc = 1.742e27
+    tiling = None if args.tiling == "none" else tuple(
+        int(v) for v in args.tiling.split(","))
+    cbs = []
+
+    if config == "laser-target":
+        dx = 0.8 * um / 16
+        Lx = args.nx * dx
+
+        def density(x, y):
+            return np.where(x > Lx / 3, 10 * nc, 0.0)
+
+        ele = Electron(density=density, ppc=args.ppc)
+        pro = Proton(density=density, ppc=args.ppc)
+        sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
+                         npatch_x=1, npatch_y=1, random_seed=0,
+                         precision="single", tiling=tiling)
+        sim.add_species([ele, pro])
+        cbs = [SimpleLaser2D(a0=30, w0=3 * um, ctau=8 * um)]
+    elif config == "vacuum":
+        dx = 0.8 * um / 16
+        sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
+                         npatch_x=1, npatch_y=1, random_seed=0,
+                         precision="single")
+        cbs = [SimpleLaser2D(a0=5, w0=3 * um, ctau=8 * um)]
+    elif config == "lwfa":
+        dx = 0.8 * um / 16
+        Ly = args.ny * dx
+
+        def density(x, y):
+            inside = (x > 2 * um) & (np.abs(y - Ly / 2) < Ly / 2 - 1 * um)
+            return np.where(inside, 0.01 * nc, 0.0)
+
+        ele = Electron(density=density, ppc=args.ppc)
+        sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
+                         npatch_x=1, npatch_y=1, random_seed=0,
+                         precision="single")
+        sim.add_species([ele])
+        cbs = [SimpleLaser2D(a0=2, w0=5 * um, ctau=5 * um),
+               MovingWindow(velocity=c, start_time=args.nx * dx / c / 4)]
+    elif config == "qed":
+        dx = 0.8 * um / 16
+        Lx = args.nx * dx
+
+        def density(x, y):
+            return np.where(x > Lx / 3, 5 * nc, 0.0)
+
+        pho = Photon(capacity=1 << 18)
+        ele = Electron(density=density, ppc=args.ppc, radiation="photons")
+        ele.set_photon(pho)
+        pro = Proton(density=density, ppc=args.ppc)
+        sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
+                         npatch_x=1, npatch_y=1, random_seed=0,
+                         precision="single")
+        sim.add_species([ele, pro, pho])
+        cbs = [SimpleLaser2D(a0=300, w0=3 * um, ctau=8 * um)]
+    elif config == "laser-target-3d":
+        n3 = max(args.nx // 4, 64)
+        dx = 0.8 * um / 12
+        Lx = n3 * dx
+
+        def density(x, y, z):
+            return np.where(x > Lx / 3, 5 * nc, 0.0)
+
+        ele = Electron(density=density, ppc=max(args.ppc // 4, 1))
+        pro = Proton(density=density, ppc=max(args.ppc // 4, 1))
+        sim = Simulation3D(nx=n3, ny=n3, nz=n3, dx=dx, dy=dx, dz=dx,
+                           npatch_x=1, npatch_y=1, npatch_z=1,
+                           random_seed=0, precision="single")
+        sim.add_species([ele, pro])
+        cbs = [SimpleLaser3D(a0=10, w0=3 * um, ctau=5 * um)]
+    else:
+        raise SystemExit(f"unknown config {config}")
+    return sim, cbs
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="laser-target",
+                    choices=["laser-target", "vacuum", "lwfa", "qed",
+                             "laser-target-3d"])
     ap.add_argument("--nx", type=int, default=768)
     ap.add_argument("--ny", type=int, default=768)
     ap.add_argument("--ppc", type=int, default=8)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--cpu-fallback-size", type=int, default=128,
-                    help="problem size if no accelerator is present")
+    ap.add_argument("--cpu-fallback-size", type=int, default=128)
     ap.add_argument("--tiling", type=str, default="16,16",
-                    help="'TX,TY' tile-binned dense path (default), or "
-                         "'none' for the scatter/gather path")
+                    help="'TX,TY' tile-binned dense path (laser-target "
+                         "only), or 'none'")
     args = ap.parse_args()
-    tiling = None if args.tiling == "none" else tuple(
-        int(v) for v in args.tiling.split(","))
 
     os.environ.setdefault("LAMBDAPIC_LOG_LEVEL", "WARNING")
     os.environ.setdefault("LAMBDAPIC_COMPILE_CACHE", "1")
     import jax
     on_accel = jax.default_backend() not in ("cpu",)
     if not on_accel:
-        # keep the smoke-run tractable on CPU
         args.nx = args.ny = args.cpu_fallback_size
         args.ppc = 4
         args.steps = 5
         args.warmup = 1
 
-    from lambdapic_tpu import Electron, Proton, Simulation, SimpleLaser2D
+    sim, cbs = build(args.config, args)
 
-    um = 1e-6
-    l0 = 0.8 * um
-    nc = 1.742e27
-    dx = l0 / 16
-    Lx = args.nx * dx
-
-    def density(x, y):
-        return np.where(x > Lx / 3, 10 * nc, 0.0)
-
-    ele = Electron(density=density, ppc=args.ppc)
-    pro = Proton(density=density, ppc=args.ppc)
-    sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
-                     npatch_x=1, npatch_y=1, random_seed=0,
-                     precision="single", tiling=tiling)
-    sim.add_species([ele, pro])
-    laser = SimpleLaser2D(a0=30, w0=3 * um, ctau=8 * um)
-
-    sim.run(nsteps=args.warmup, callbacks=[laser])
+    sim.run(nsteps=args.warmup, callbacks=cbs)
     jax.block_until_ready(sim.state)
     npart = sum(sim.npart_alive)
 
     t0 = time.perf_counter()
-    sim.run(nsteps=args.steps, callbacks=[laser])
+    sim.run(nsteps=args.steps, callbacks=cbs)
     jax.block_until_ready(sim.state)
     elapsed = time.perf_counter() - t0
 
-    pushes_per_sec = npart * args.steps / elapsed
     steps_per_sec = args.steps / elapsed
-    result = {
-        "metric": "macroparticle-pushes/sec/chip (2D laser-target)",
-        "value": float(f"{pushes_per_sec:.4g}"),
-        "unit": "pushes/s",
-        "vs_baseline": float(f"{pushes_per_sec / 1e9:.4g}"),
-        "extra": {
-            "backend": jax.default_backend(),
-            "nx": args.nx, "ny": args.ny, "npart": int(npart),
-            "steps_per_sec": float(f"{steps_per_sec:.4g}"),
-            "tiling": args.tiling,
-        },
+    if args.config == "vacuum":
+        result = {
+            "metric": "FDTD steps/sec (2D Gaussian laser in vacuum)",
+            "value": float(f"{steps_per_sec:.4g}"),
+            "unit": "steps/s",
+            "vs_baseline": float(f"{steps_per_sec:.4g}"),
+        }
+    else:
+        pushes = npart * args.steps / elapsed
+        result = {
+            "metric": f"macroparticle-pushes/sec/chip ({args.config})",
+            "value": float(f"{pushes:.4g}"),
+            "unit": "pushes/s",
+            "vs_baseline": float(f"{pushes / 1e9:.4g}"),
+        }
+    result["extra"] = {
+        "backend": jax.default_backend(),
+        "config": args.config, "npart": int(npart),
+        "steps_per_sec": float(f"{steps_per_sec:.4g}"),
+        "tiling": args.tiling,
     }
     print(json.dumps(result))
 
