@@ -117,6 +117,10 @@ class Simulation:
     # TPU extra: tile-binned dense particle path (ops/tiled2d.py).
     # (TX, TY) cells per tile; None = reference-layout scatter/gather path.
     tiling: Optional[tuple] = None
+    # TPU extra: fuse up to N steps into one lax.scan dispatch when no host
+    # callback is due (amortizes dispatch latency; costs one extra compile
+    # per chunk size). 1 = off.
+    step_chunk: int = 1
 
     dimension = 2
 
@@ -561,7 +565,30 @@ class Simulation:
         pbar = ProgressBar(total=nsteps_total, initial=self.itime,
                            desc="Progress")
         try:
-            for self.istep in range(self.itime, nsteps_total):
+            while self.itime < nsteps_total:
+                self.istep = self.itime
+
+                # chunked fast path: scan K host-callback-free steps in one
+                # dispatch (opt-in via step_chunk)
+                if self.step_chunk > 1:
+                    free = self._steps_until_host_event(
+                        cbs, min(self.step_chunk,
+                                 nsteps_total - self.itime), stop_callback)
+                    k = 1
+                    for cand in self.CHUNK_SIZES:
+                        if cand <= free and cand <= self.step_chunk:
+                            k = cand
+                            break
+                    if k > 1:
+                        sc_stack = self._stacked_scalars(lasers, k)
+                        with Timer(f"scan x{k}"):
+                            self.state = self._get_multi_step(k)(
+                                self.state, sc_stack)
+                        self.time += k * self.dt
+                        self.itime += k
+                        pbar.update(k)
+                        continue
+
                 pbar.update(1)
                 with Timer("Callbacks: start stage"):
                     cbs.run("start")

@@ -144,6 +144,30 @@ def test_charge_conservation_full_sim():
     assert abs(rho_tot - q_parts) < 1e-9 * q_abs
 
 
+def test_step_chunking_matches_stepwise():
+    """step_chunk>1 (lax.scan fused steps) must reproduce per-step
+    dispatch exactly, including laser scalars and interval callbacks."""
+    results = []
+    for chunk in (1, 4):
+        sim = make_laser_target(seed=5)
+        sim.step_chunk = chunk
+        laser = SimpleLaser2D(a0=5, w0=2 * um, ctau=5 * um)
+        hits = []
+
+        @callback(stage="end", interval=6)
+        def probe(s):
+            hits.append(s.itime)
+
+        sim.run(nsteps=9, callbacks=[laser, probe])
+        results.append((sim.get_field("ey"), sim.get_particles(0)["x"],
+                        tuple(hits)))
+    np.testing.assert_allclose(results[1][0], results[0][0], rtol=1e-12,
+                               atol=np.abs(results[0][0]).max() * 1e-12)
+    np.testing.assert_allclose(np.sort(results[1][1]),
+                               np.sort(results[0][1]), rtol=1e-12)
+    assert results[0][2] == results[1][2]
+
+
 def test_single_precision_runs():
     sim = make_laser_target(precision="single")
     laser = SimpleLaser2D(a0=5, w0=2 * um, ctau=5 * um)
