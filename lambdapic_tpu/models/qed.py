@@ -181,6 +181,36 @@ class NonlinearComptonLCFA:
         data["delta"] = delta
         return data, alive
 
+    # -- elementwise creation pieces (tiled path: newborn values stay at
+    # the parent's slot; ops/tiled2d.py::insert_tiled does the insertion) --
+    def photon_newborns(self, edata, ndim: int):
+        """Newborn photon values at parent slots (same formulas as
+        creation_local below / reference qed/cpu.py:283-307)."""
+        delta = edata["delta"]
+        ux = delta * edata["ux"]
+        uy = delta * edata["uy"]
+        uz = delta * edata["uz"]
+        u2 = ux**2 + uy**2 + uz**2
+        new = {"x": edata["x"], "y": edata["y"], "w": edata["w"],
+               "ux": ux, "uy": uy, "uz": uz,
+               "inv_gamma": jnp.where(u2 > 0, 1.0 / jnp.sqrt(
+                   jnp.maximum(u2, 1e-30)), 1.0)}
+        if ndim == 3:
+            new["z"] = edata["z"]
+        return new
+
+    def apply_recoil(self, edata, ev):
+        """Parent recoil + event reset (reference qed/cpu.py:308-330)."""
+        edata = dict(edata)
+        fac = jnp.where(ev, 1.0 - edata["delta"], 1.0)
+        edata["ux"] = edata["ux"] * fac
+        edata["uy"] = edata["uy"] * fac
+        edata["uz"] = edata["uz"] * fac
+        edata["inv_gamma"] = 1.0 / jnp.sqrt(
+            1.0 + edata["ux"]**2 + edata["uy"]**2 + edata["uz"]**2)
+        edata["event"] = jnp.zeros_like(edata["event"])
+        return edata
+
     # -- creation phase (local arrays of parent + child species) ---------
     def creation_local(self, edata, ealive, pdata, palive, pnext, pover,
                        ndim: int):
@@ -251,6 +281,32 @@ class NonlinearPairProductionLCFA:
         data["event"] = event.astype(data["tau"].dtype)
         data["delta"] = delta
         return data, alive
+
+    # -- elementwise creation pieces (tiled path) -------------------------
+    def pair_newborns(self, phdata, ndim: int):
+        """(electron, positron) newborn values at photon slots (same
+        formulas as creation_local below / reference inline.py:120-192)."""
+        delta = phdata["delta"]
+        base = {"x": phdata["x"], "y": phdata["y"], "w": phdata["w"]}
+        if ndim == 3:
+            base["z"] = phdata["z"]
+
+        def child(frac):
+            ux = frac * phdata["ux"]
+            uy = frac * phdata["uy"]
+            uz = frac * phdata["uz"]
+            return dict(base, ux=ux, uy=uy, uz=uz,
+                        inv_gamma=1.0 / jnp.sqrt(1 + ux**2 + uy**2 + uz**2))
+
+        return child(delta), child(1.0 - delta)
+
+    def remove_parents(self, phdata, phalive, ev):
+        """Converted photons are removed (reference cpu.py:335-347)."""
+        phdata = dict(phdata)
+        phalive = phalive & ~ev
+        phdata["w"] = jnp.where(phalive, phdata["w"], 0.0)
+        phdata["event"] = jnp.zeros_like(phdata["event"])
+        return phdata, phalive
 
     def creation_local(self, phdata, phalive,
                        edata, ealive, enext, eover,

@@ -360,3 +360,62 @@ def migrate_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
     data["inv_gamma"] = jnp.where(alive, data["inv_gamma"],
                                   jnp.ones_like(data["inv_gamma"]))
     return data, alive, n_lost
+
+
+def insert_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
+                 next_id: jnp.ndarray, new_vals: Dict[str, jnp.ndarray],
+                 valid: jnp.ndarray):
+    """Tile-aligned in-step creation (QED photon/pair birth): newborns sit
+    at their parent's slot in the parent species' tile layout, and a
+    newborn's position equals its parent's, so its home tile is the
+    parent's tile — insertion is a per-tile merge of (child survivors,
+    newborn buffer) with the same multi-operand lax.sort network as
+    migrate_tiled. Dense counterpart of parallel/inject.py::insert_local
+    (reference qed/cpu.py create_*_patches).
+
+    data/alive: child species, (ntx, nty, cap_t). new_vals/valid:
+    (ntx, nty, cap_src) elementwise newborn values at parent slots.
+
+    Ids are sequential from ``next_id`` (reference particles.py:91-139
+    _npart_created counter) via a hierarchical prefix rank: intra-tile
+    cumsum along the (minor) slot axis + a tiny exclusive scan over the
+    per-tile counts — no full-length 1D cumsum (pathological on TPU).
+
+    Returns (data, alive, next_id, n_lost); newborns that find no free
+    slot in their tile are dropped and counted (the untiled path drops
+    them identically when the capacity is exhausted).
+    """
+    cap_t = alive.shape[-1]
+    vi = valid.astype(jnp.int32)
+    intra = jnp.cumsum(vi, axis=-1) - vi                 # exclusive, per tile
+    counts = jnp.sum(vi, axis=-1)                        # (ntx, nty)
+    base = jnp.cumsum(counts.reshape(-1)) - counts.reshape(-1)
+    rank = base.reshape(counts.shape)[..., None] + intra
+    ids = next_id + rank.astype(jnp.uint32)
+
+    keys = jnp.concatenate([
+        jnp.where(alive, 0, 2).astype(jnp.int32),
+        jnp.where(valid, 1, 2).astype(jnp.int32)], axis=-1)
+    names = sorted(data)
+    ops = []
+    for k in names:
+        arr = data[k]
+        if k == "id_lo":
+            nv = ids
+        elif k == "id_hi":
+            nv = jnp.broadcast_to(arr[..., :1], valid.shape)
+        elif k in new_vals:
+            nv = jnp.where(valid, new_vals[k].astype(arr.dtype), 0)
+        elif k == "inv_gamma":
+            nv = jnp.where(valid, jnp.ones_like(valid, arr.dtype),
+                           jnp.ones_like(valid, arr.dtype))
+        else:
+            nv = jnp.zeros(valid.shape, arr.dtype)
+        ops.append(jnp.concatenate([arr, nv.astype(arr.dtype)], axis=-1))
+    sorted_ops = lax.sort([keys] + ops, dimension=2, num_keys=1)
+    kept = sorted_ops[0][..., :cap_t]
+    n_lost = jnp.sum(sorted_ops[0][..., cap_t:] < 2).astype(jnp.int32)
+    out = {k: o[..., :cap_t] for k, o in zip(names, sorted_ops[1:])}
+    alive = kept < 2
+    next_id = next_id + jnp.sum(counts).astype(jnp.uint32)
+    return out, alive, next_id, n_lost

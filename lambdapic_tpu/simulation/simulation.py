@@ -41,6 +41,14 @@ from .initfill import count_macro_particles, fill_species, pick_capacity
 from .step import SpeciesStatic, StepBuilder
 
 
+def _grow_minor(a: np.ndarray, cap: int) -> np.ndarray:
+    """Zero-pad the minor (slot) axis of a host array up to ``cap``."""
+    if a.shape[-1] >= cap:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, cap - a.shape[-1])]
+    return np.pad(a, pad)
+
+
 class SimulationConfig(BaseModel):
     """Validation model (reference simulation.py:50-100) + TPU extras."""
 
@@ -117,6 +125,10 @@ class Simulation:
     # TPU extra: tile-binned dense particle path (ops/tiled2d.py).
     # (TX, TY) cells per tile; None = reference-layout scatter/gather path.
     tiling: Optional[tuple] = None
+    # "auto" = pallas kernels on TPU (taps fused in VMEM,
+    # ops/tiled2d_pallas.py), XLA dense taps on CPU; or force
+    # "pallas" / "xla"
+    tiling_backend: str = "auto"
     # TPU extra: fuse up to N steps into one lax.scan dispatch when no host
     # callback is due (amortizes dispatch latency; costs one extra compile
     # per chunk size). 1 = off.
@@ -307,6 +319,20 @@ class Simulation:
                 arrays, alive_np, tile_cap = bin_tiled(
                     arrays, counts, self.grid, *self.tiling,
                     factor=self._config.particle_capacity_factor)
+                if sp.capacity is not None:
+                    # interpret Species(capacity=) as a per-device floor,
+                    # spread uniformly over tiles (QED child headroom)
+                    ntiles = ((self.grid.nx_loc // self.tiling[0])
+                              * (self.grid.ny_loc // self.tiling[1]))
+                    want = int(np.ceil(sp.capacity / ntiles / 128) * 128)
+                    if want > tile_cap:
+                        old = tile_cap
+                        tile_cap = want
+                        arrays = {k: _grow_minor(v, tile_cap)
+                                  for k, v in arrays.items()}
+                        if "inv_gamma" in arrays:
+                            arrays["inv_gamma"][..., old:] = 1.0
+                        alive_np = _grow_minor(alive_np, tile_cap)
                 pst = self._tiled_state(sp, arrays, alive_np, dtype)
                 cap = tile_cap
             else:
@@ -350,9 +376,6 @@ class Simulation:
             raise ValueError("tile size must be >= 2*n_guard")
         if getattr(self, "_collision_groups", None):
             raise NotImplementedError("tiling does not support collisions yet")
-        for sp in self.species:
-            if sp.has_qed:
-                raise NotImplementedError("tiling does not support QED yet")
 
     def _tiled_state(self, sp, arrays, alive_np, dtype):
         """Build a ParticlesState from tiled host arrays
@@ -455,13 +478,17 @@ class Simulation:
             tile_cfg = TileCfg(tx=tx, ty=ty, ntx=self.grid.nx_loc // tx,
                                nty=self.grid.ny_loc // ty, cap_t=0,
                                h=self.grid.n_guard)
+        tile_backend = self.tiling_backend
+        if tile_backend == "auto":
+            tile_backend = ("xla" if jax.default_backend() == "cpu"
+                            else "pallas")
         builder = StepBuilder(
             grid=self.grid, mesh=self.mesh, cpml=self.cpml, dt=self.dt,
             species=self._species_static, lasers=lasers,
             qed_processes=getattr(self, "_qed_processes", ()),
             collisions=collisions,
             switches=getattr(self, "_switches", None),
-            tile_cfg=tile_cfg)
+            tile_cfg=tile_cfg, tile_backend=tile_backend)
         self._builder = builder
         self._rho_fns = {}
         (self._full_step, self._seg1, self._seg2, self._seg3) = \
@@ -699,11 +726,28 @@ class Simulation:
         cap = max(cap, st.cap)
         arrays, counts, cap = distribute_global_particles(
             self.grid, sp, coords_si, attrs, cap=cap)
-        if cap != st.cap:
-            self._species_static[ispec] = dataclasses.replace(
-                st, cap=cap, migration_buf=min(st.migration_buf, cap))
-        pst = particles_from_numpy(self.grid, sp, arrays, counts, cap,
-                                   dtype=self.dtype)
+        if self.tiling is not None:
+            from .initfill import bin_tiled
+            arrays, alive_np, tile_cap = bin_tiled(
+                arrays, counts, self.grid, *self.tiling,
+                factor=self._config.particle_capacity_factor)
+            tile_cap = max(tile_cap, st.tile_cap)
+            if tile_cap != arrays["x"].shape[-1]:
+                old = arrays["x"].shape[-1]
+                arrays = {k: _grow_minor(v, tile_cap)
+                          for k, v in arrays.items()}
+                arrays["inv_gamma"][..., old:] = 1.0
+                alive_np = _grow_minor(alive_np, tile_cap)
+            if tile_cap != st.tile_cap:
+                self._species_static[ispec] = dataclasses.replace(
+                    st, cap=tile_cap, tile_cap=tile_cap)
+            pst = self._tiled_state(sp, arrays, alive_np, self.dtype)
+        else:
+            if cap != st.cap:
+                self._species_static[ispec] = dataclasses.replace(
+                    st, cap=cap, migration_buf=min(st.migration_buf, cap))
+            pst = particles_from_numpy(self.grid, sp, arrays, counts, cap,
+                                       dtype=self.dtype)
         psh = pmesh.particle_sharding(self.mesh)
         ssh = pmesh.scalar_sharding(self.mesh)
         pst = ParticlesState(

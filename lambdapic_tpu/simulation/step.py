@@ -70,10 +70,15 @@ class StepBuilder:
                  lasers: Sequence = (), qed_processes: Sequence = (),
                  sorters: Sequence = (), collisions=None,
                  switches: Optional[Dict[str, bool]] = None,
-                 tile_cfg: Optional[TileCfg] = None):
+                 tile_cfg: Optional[TileCfg] = None,
+                 tile_backend: str = "xla"):
         # tile-binned dense particle path (ops/tiled2d.py); None = the
         # reference-layout scatter/gather path
         self.tile_cfg = tile_cfg
+        # "xla": dense tap matrices in HBM (ops/tiled2d.py);
+        # "pallas": taps fused into per-tile VMEM contractions
+        # (ops/tiled2d_pallas.py)
+        self.tile_backend = tile_backend
         # runtime operator toggles (reference EnableMixin,
         # core/utils/enable_mixin.py:4-38): maxwell, pusher,
         # current_deposition, qed, collisions, interpolation
@@ -167,6 +172,17 @@ class StepBuilder:
         if tile_cfg is not None:
             import dataclasses as _dc
             tile_cfg = _dc.replace(tile_cfg, cap_t=sp.tile_cap)
+        if self.tile_backend == "pallas":
+            from ..ops.tiled2d_pallas import (deposit_tiled_pallas as
+                                              _dep_tiled,
+                                              extract_windows_mxu as
+                                              _ext_win,
+                                              fold_windows_mxu as _fold_win,
+                                              gather_tiled_pallas as
+                                              _gat_tiled)
+        else:
+            _dep_tiled, _gat_tiled = deposit_tiled, gather_tiled
+            _ext_win, _fold_win = extract_windows, fold_windows
 
         def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
             lead = alive.shape[:ndim]        # (1,) * ndim device axes
@@ -204,8 +220,8 @@ class StepBuilder:
             # gather (reference stage _interpolator)
             if self.switches["interpolation"]:
                 if tile_cfg is not None:
-                    windows = extract_windows(eb_pad, tile_cfg)
-                    eb_p = gather_tiled(windows, pos[0], pos[1], tile_cfg)
+                    windows = _ext_win(eb_pad, tile_cfg)
+                    eb_p = _gat_tiled(windows, pos[0], pos[1], tile_cfg)
                 elif ndim == 2:
                     eb_p = gather_eb_2d(*[eb_pad[i] for i in range(6)],
                                         *pos, g)
@@ -265,10 +281,10 @@ class StepBuilder:
             w = jnp.where(alive, data["w"], 0.0)
             if sp.q != 0.0 and self.switches["current_deposition"]:
                 if tile_cfg is not None:
-                    win = deposit_tiled(pos[0], pos[1], ux, uy, uz, ig, w,
-                                        tile_cfg, q=sp.q, dx=grid.dx,
-                                        dy=grid.dy, dt=dt)
-                    jpad = fold_windows(win, tile_cfg)
+                    win = _dep_tiled(pos[0], pos[1], ux, uy, uz, ig, w,
+                                     tile_cfg, q=sp.q, dx=grid.dx,
+                                     dy=grid.dy, dt=dt)
+                    jpad = _fold_win(win, tile_cfg)
                 else:
                     if ndim == 2:
                         j4 = deposit_2d(pos[0], pos[1], ux, uy, uz, ig, w,
@@ -439,13 +455,15 @@ class StepBuilder:
 
         ndim = self.grid.dimension
         parts = list(parts)
+        tiled = self.tile_cfg is not None
+        nlocal = 3 if tiled else 1       # (ntx, nty, cap_t) vs (cap,)
 
         def squeeze(d, a, *rest):
-            cap = a.shape[-1]
-            lead = a.shape[:-1]
-            return ({k: v.reshape(cap) for k, v in d.items()},
-                    a.reshape(cap),
-                    [r.reshape(()) for r in rest], lead, cap)
+            shp = a.shape[-nlocal:]
+            lead = a.shape[:-nlocal]
+            return ({k: v.reshape(v.shape[-nlocal:]) for k, v in d.items()},
+                    a.reshape(shp),
+                    [r.reshape(()) for r in rest], lead, shp)
 
         if isinstance(proc, NonlinearComptonLCFA):
             e = parts[proc.ispec]
@@ -455,15 +473,24 @@ class StepBuilder:
                 edata, ealive, _, lead, cap_e = squeeze(edata, ealive)
                 phdata, phalive, (phnext, phover), _, cap_p = squeeze(
                     phdata, phalive, phnext, phover)
-                out = proc.creation_local(edata, ealive, phdata, phalive,
-                                          phnext, phover, ndim)
-                edata, ealive, phdata, phalive, phnext, phover = out
-                return ({k: v.reshape(lead + (cap_e,))
+                if tiled:
+                    from ..ops.tiled2d import insert_tiled
+                    ev = ealive & (edata["event"] > 0)
+                    new = proc.photon_newborns(edata, ndim)
+                    phdata, phalive, phnext, lost = insert_tiled(
+                        phdata, phalive, phnext, new, ev)
+                    phover = phover + lost
+                    edata = proc.apply_recoil(edata, ev)
+                else:
+                    out = proc.creation_local(edata, ealive, phdata, phalive,
+                                              phnext, phover, ndim)
+                    edata, ealive, phdata, phalive, phnext, phover = out
+                return ({k: v.reshape(lead + cap_e)
                          for k, v in edata.items()},
-                        ealive.reshape(lead + (cap_e,)),
-                        {k: v.reshape(lead + (cap_p,))
+                        ealive.reshape(lead + cap_e),
+                        {k: v.reshape(lead + cap_p)
                          for k, v in phdata.items()},
-                        phalive.reshape(lead + (cap_p,)),
+                        phalive.reshape(lead + cap_p),
                         phnext.reshape(lead), phover.reshape(lead))
 
             edspec = {k: self._p_part for k in e.data}
@@ -493,21 +520,34 @@ class StepBuilder:
                     edata, ealive, enext, eover)
                 pdata, palive, (pnext, pover), _, cap_p = squeeze(
                     pdata, palive, pnext, pover)
-                out = proc.creation_local(
-                    phdata, phalive, edata, ealive, enext, eover,
-                    pdata, palive, pnext, pover, ndim)
-                (phdata, phalive, edata, ealive, enext, eover,
-                 pdata, palive, pnext, pover) = out
-                return ({k: v.reshape(lead + (cap_ph,))
+                if tiled:
+                    from ..ops.tiled2d import insert_tiled
+                    ev = phalive & (phdata["event"] > 0)
+                    new_e, new_p = proc.pair_newborns(phdata, ndim)
+                    edata, ealive, enext, lost_e = insert_tiled(
+                        edata, ealive, enext, new_e, ev)
+                    pdata, palive, pnext, lost_p = insert_tiled(
+                        pdata, palive, pnext, new_p, ev)
+                    eover = eover + lost_e
+                    pover = pover + lost_p
+                    phdata, phalive = proc.remove_parents(phdata, phalive,
+                                                          ev)
+                else:
+                    out = proc.creation_local(
+                        phdata, phalive, edata, ealive, enext, eover,
+                        pdata, palive, pnext, pover, ndim)
+                    (phdata, phalive, edata, ealive, enext, eover,
+                     pdata, palive, pnext, pover) = out
+                return ({k: v.reshape(lead + cap_ph)
                          for k, v in phdata.items()},
-                        phalive.reshape(lead + (cap_ph,)),
-                        {k: v.reshape(lead + (cap_e,))
+                        phalive.reshape(lead + cap_ph),
+                        {k: v.reshape(lead + cap_e)
                          for k, v in edata.items()},
-                        ealive.reshape(lead + (cap_e,)),
+                        ealive.reshape(lead + cap_e),
                         enext.reshape(lead), eover.reshape(lead),
-                        {k: v.reshape(lead + (cap_p,))
+                        {k: v.reshape(lead + cap_p)
                          for k, v in pdata.items()},
-                        palive.reshape(lead + (cap_p,)),
+                        palive.reshape(lead + cap_p),
                         pnext.reshape(lead), pover.reshape(lead))
 
             phspec = {k: self._p_part for k in ph.data}

@@ -22,7 +22,8 @@ def clear_species_registry():
     _ALL_SPECIES.clear()
 
 
-def run_case(tiling, periodic, nsteps=6, mesh=(2, 2), seed=11):
+def run_case(tiling, periodic, nsteps=6, mesh=(2, 2), seed=11,
+             backend="auto"):
     _ALL_SPECIES.clear()
     if periodic:
         bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
@@ -37,7 +38,8 @@ def run_case(tiling, periodic, nsteps=6, mesh=(2, 2), seed=11):
     sim = Simulation(nx=64, ny=64, dx=l0 / 10, dy=l0 / 10,
                      npatch_x=mesh[0], npatch_y=mesh[1],
                      boundary_conditions=bc, random_seed=seed,
-                     precision="double", tiling=tiling)
+                     precision="double", tiling=tiling,
+                     tiling_backend=backend)
     sim.add_species([ele, pro])
     laser = SimpleLaser2D(a0=8, w0=2 * um, ctau=2 * um)
     cbs = [] if periodic else [laser]
@@ -62,4 +64,21 @@ def test_tiled_matches_untiled(periodic):
             b = np.sort(p_til[i][k])
             assert a.shape == b.shape, (i, k)
             np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"species {i} {k}")
+
+
+def test_pallas_backend_matches_xla_backend():
+    """The pallas tiled kernels (interpret mode on CPU) must reproduce the
+    XLA tiled path end-to-end through the full sharded step."""
+    f_ref, p_ref = run_case((16, 16), False, backend="xla")
+    f_pl, p_pl = run_case((16, 16), False, backend="pallas")
+    for name in f_ref:
+        scale = np.abs(f_ref[name]).max() + 1e-30
+        np.testing.assert_allclose(f_pl[name], f_ref[name],
+                                   atol=1e-9 * scale, err_msg=name)
+    for i in range(2):
+        for k in ("x", "y", "ux", "uy", "uz", "w"):
+            np.testing.assert_allclose(np.sort(p_pl[i][k]),
+                                       np.sort(p_ref[i][k]),
+                                       rtol=1e-9, atol=1e-12,
                                        err_msg=f"species {i} {k}")
