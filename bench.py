@@ -117,6 +117,8 @@ def main():
     ap.add_argument("--tiling", type=str, default="16,16",
                     help="'TX,TY' tile-binned dense path (laser-target "
                          "only), or 'none'")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="fuse up to N steps per dispatch (lax.scan)")
     args = ap.parse_args()
 
     os.environ.setdefault("LAMBDAPIC_LOG_LEVEL", "WARNING")
@@ -130,6 +132,10 @@ def main():
         args.warmup = 1
 
     sim, cbs = build(args.config, args)
+    sim.step_chunk = args.chunk
+    if args.chunk > 1:
+        # compile every chunk-size kernel outside the timed region
+        args.warmup = max(args.warmup, args.chunk + 4 + 1)
 
     sim.run(nsteps=args.warmup, callbacks=cbs)
     jax.block_until_ready(sim.state)
@@ -138,6 +144,9 @@ def main():
     t0 = time.perf_counter()
     sim.run(nsteps=args.steps, callbacks=cbs)
     jax.block_until_ready(sim.state)
+    # the relay's block_until_ready is not a reliable fence: force a
+    # device-to-host read for ground truth
+    _ = np.asarray(sim.state.fields.ey).ravel()[0]
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = args.steps / elapsed

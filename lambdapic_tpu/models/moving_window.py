@@ -176,13 +176,54 @@ class MovingWindow(Callback):
             n[dev] = total
         return {"vals": vals, "n": n}
 
+    def _rebin_injection(self, sim, inj, kb: int):
+        """Tiled layout: bin the flat right-edge injection buffers by
+        y-tile — the device-side insert (ops/tiled2d.py::insert_tiled)
+        merges them into tile column ntx-1."""
+        grid = sim.grid
+        ty = sim.tiling[1]
+        nty = grid.ny_loc // ty
+        mshape = grid.mesh_shape
+        vals, n = inj["vals"], inj["n"]
+        out = {a: np.zeros(mshape + (nty, kb), v.dtype)
+               for a, v in vals.items()}
+        if "inv_gamma" in out:
+            out["inv_gamma"][...] = 1.0
+        out_n = np.zeros(mshape + (nty,), np.int32)
+        for dev in np.ndindex(mshape):
+            tot = int(n[dev])
+            if tot == 0:
+                continue
+            y = vals["y"][dev][:tot]
+            tj = np.clip((np.floor(y + 0.5) // ty).astype(int), 0, nty - 1)
+            for t in range(nty):
+                sel = np.nonzero(tj == t)[0]
+                if len(sel) > kb:
+                    logger.warning(
+                        f"moving window: per-tile injection overflow "
+                        f"({len(sel)} > {kb}); truncating")
+                    sel = sel[:kb]
+                for a in vals:
+                    out[a][dev][t][:len(sel)] = vals[a][dev][sel]
+                out_n[dev][t] = len(sel)
+        return {"vals": out, "n": out_n}
+
     def _shift_once(self, sim) -> None:
         if self._shift_fn is None:
             self._shift_fn = sim._builder.make_window_shift()
             self._k_inject = self._estimate_k(sim)
+            if sim.tiling is not None:
+                ty = sim.tiling[1]
+                self._kb_inject = [
+                    max(128, int(np.ceil(k * ty / sim.grid.ny_loc / 128)
+                                 * 128))
+                    for k in self._k_inject]
         injections = []
         for ispec in range(len(sim.species)):
-            injections.append(self._column_particles(
-                sim, ispec, self._k_inject[ispec]))
+            inj = self._column_particles(sim, ispec, self._k_inject[ispec])
+            if sim.tiling is not None:
+                inj = self._rebin_injection(sim, inj,
+                                            self._kb_inject[ispec])
+            injections.append(inj)
         sim.state = self._shift_fn(sim.state, injections)
         sim._window_offset += 1

@@ -196,7 +196,8 @@ def gather_tiled(windows: jnp.ndarray, x, y, cfg: TileCfg):
         # tmp[x, p] = sum_y F[x, y] Wy[y, p]  (batched over tiles)
         tmp = lax.dot_general(
             F, Wy, (((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=F.dtype)
+            preferred_element_type=F.dtype,
+            precision=lax.Precision.HIGHEST)
         return jnp.sum(Wx * tmp, axis=2)
 
     ex, ey, ez, bx, by, bz = windows
@@ -248,7 +249,8 @@ def deposit_tiled(x, y, ux, uy, uz, inv_gamma, w, cfg: TileCfg, *,
     def outer(u, v):
         # (…, wx, cap) x (…, wy, cap) -> (…, wx, wy), contract cap
         return lax.dot_general(u, v, (((3,), (3,)), ((0, 1), (0, 1))),
-                               preferred_element_type=dtype)
+                               preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)
 
     cvz = cd * vz
     jx_w = outer(fx, b)
@@ -285,14 +287,20 @@ def _roll_with_edge_exchange(tree, axis: int, direction: int,
 
 def migrate_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
                   cfg: TileCfg, specs: Tuple[HaloSpec, HaloSpec],
-                  nx_loc: int, ny_loc: int):
+                  nx_loc: int, ny_loc: int,
+                  axes: Tuple[int, ...] = (0, 1)):
     """Re-bin particles to their home tiles (one pass per axis) and handle
     device-edge crossings in the same motion. Dense: rolls + ppermute +
-    per-tile lax.sort merges. Returns (data, alive, n_lost)."""
+    per-tile lax.sort merges. Returns (data, alive, n_lost).
+
+    ``axes`` restricts the passes (the moving-window shift only displaces
+    particles along x, so it re-bins with axes=(0,))."""
     n_lost = jnp.int32(0)
-    for axis, (t, nt, nloc, spec, coord) in enumerate((
-            (cfg.tx, cfg.ntx, nx_loc, specs[0], "x"),
-            (cfg.ty, cfg.nty, ny_loc, specs[1], "y"))):
+    plan = ((cfg.tx, cfg.ntx, nx_loc, specs[0], "x"),
+            (cfg.ty, cfg.nty, ny_loc, specs[1], "y"))
+    for axis, (t, nt, nloc, spec, coord) in enumerate(plan):
+        if axis not in axes:
+            continue
         pos = data[coord]
         origin = jnp.arange(nt, dtype=pos.dtype) * t
         origin = origin[:, None, None] if axis == 0 else origin[None, :, None]

@@ -118,9 +118,11 @@ def extract_windows_mxu(fpad: jnp.ndarray, cfg: TileCfg) -> jnp.ndarray:
     mx = _sel_matrix(fpad.shape[1], cfg.tx, cfg.ntx, cfg.wx, dtype)
     my = _sel_matrix(fpad.shape[2], cfg.ty, cfg.nty, cfg.wy, dtype)
     e1 = lax.dot_general(fpad, mx, (((1,), (0,)), ((), ())),
-                         preferred_element_type=dtype)   # (C, NY, A)
+                         preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)   # (C, NY, A)
     e2 = lax.dot_general(e1, my, (((1,), (0,)), ((), ())),
-                         preferred_element_type=dtype)   # (C, A, B)
+                         preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)   # (C, A, B)
     return e2.reshape(fpad.shape[0], cfg.ntx, cfg.wx, cfg.nty, cfg.wy)
 
 
@@ -134,9 +136,11 @@ def fold_windows_mxu(win: jnp.ndarray, cfg: TileCfg) -> jnp.ndarray:
     my = _sel_matrix(nyp, cfg.ty, cfg.nty, cfg.wy, dtype)
     w2 = win.reshape(win.shape[0], cfg.ntx * cfg.wx, cfg.nty * cfg.wy)
     u1 = lax.dot_general(w2, mx, (((1,), (1,)), ((), ())),
-                         preferred_element_type=dtype)   # (C, B, NX)
+                         preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)   # (C, B, NX)
     u2 = lax.dot_general(u1, my, (((1,), (1,)), ((), ())),
-                         preferred_element_type=dtype)   # (C, NX, NY)
+                         preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)   # (C, NX, NY)
     return u2
 
 
@@ -162,8 +166,10 @@ def _gather_kernel(win_ref, x_ref, y_ref,
                              _pad_rows(w[4], _SEC)], axis=0)
         B = jnp.concatenate([_pad_rows(w[1], _SEC), _pad_rows(w[3], _SEC),
                              _pad_rows(w[5], _SEC)], axis=0)
-        tA = jnp.dot(A, gy, preferred_element_type=dtype)   # (72, cap)
-        tB = jnp.dot(B, hy, preferred_element_type=dtype)
+        tA = jnp.dot(A, gy, preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)   # (72, cap)
+        tB = jnp.dot(B, hy, preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)
 
         def red(t, lo, Wx):
             return jnp.sum(Wx * t[lo:lo + wx], axis=0)
@@ -232,9 +238,11 @@ def _deposit_kernel(x_ref, y_ref, vxc_ref, vyc_ref, cvz_ref, w_ref,
             c = lax.broadcasted_iota(jnp.int32, (n, n), 1)
             return (r >= c).astype(dtype)
 
-        fxw = jnp.dot(_tri(wx), dsx, preferred_element_type=dtype) \
+        fxw = jnp.dot(_tri(wx), dsx, preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST) \
             * (-q_dydt * w)[None, :]
-        gyw = jnp.dot(_tri(wy), dsy, preferred_element_type=dtype) \
+        gyw = jnp.dot(_tri(wy), dsy, preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST) \
             * (-q_dxdt * w)[None, :]
 
         X = jnp.concatenate([
@@ -250,7 +258,8 @@ def _deposit_kernel(x_ref, y_ref, vxc_ref, vyc_ref, cvz_ref, w_ref,
             _pad_rows(s1y, _SEC)], axis=0)
         # ONE MXU contraction over the particle axis: (120, cap) x (cap, 96)
         G = lax.dot_general(X, Y, (((1,), (1,)), ((), ())),
-                            preferred_element_type=dtype)
+                            preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)
 
         def blk(r, c):
             return G[r * _SEC:r * _SEC + wx, c * _SEC:c * _SEC + wy]

@@ -595,11 +595,49 @@ class StepBuilder:
             arr = jnp.roll(arr, -1, axis=0)
             return arr.at[-1].set(0.0)
 
-        def species_shift(pstate: ParticlesState, new_vals, n_new, buf):
+        tile_cfg = self.tile_cfg
+
+        def species_shift(pstate: ParticlesState, new_vals, n_new, buf,
+                          tcfg=None):
             from ..parallel.inject import insert_local
             from ..parallel.migrate import migrate_axis, sanitize_dead
 
-            def local(data, alive, next_id, overflow, nv, nn):
+            def local_tiled(data, alive, next_id, overflow, nv, nn):
+                """Tiled layout: x -= 1, re-bin along x (migrate_tiled),
+                then merge the host-injected right-edge column — binned by
+                y-tile on the host — into tile column ntx-1 via
+                insert_tiled."""
+                from ..ops.tiled2d import insert_tiled, migrate_tiled
+                shp = alive.shape[-3:]
+                lead = alive.shape[:-3]
+                data = {k: v.reshape(v.shape[-3:]) for k, v in data.items()}
+                alive = alive.reshape(shp)
+                next_id = next_id.reshape(())
+                overflow = overflow.reshape(())
+                nv = {k: v.reshape(v.shape[-2:]) for k, v in nv.items()}
+                nn = nn.reshape(nn.shape[-1])            # (nty,)
+
+                data["x"] = jnp.where(alive, data["x"] - 1.0, data["x"])
+                data, alive, lost = migrate_tiled(
+                    data, alive, tcfg, specs[:2], nloc[0], nloc[1],
+                    axes=(0,))
+                kb = next(iter(nv.values())).shape[-1]
+                valid = (jnp.arange(kb)[None, None, :]
+                         < nn[None, :, None])            # (1, nty, kb)
+                sl = {k: v[tcfg.ntx - 1:] for k, v in data.items()}
+                sal = alive[tcfg.ntx - 1:]
+                newv = {k: v[None] for k, v in nv.items()}
+                sl, sal, next_id, lost2 = insert_tiled(sl, sal, next_id,
+                                                       newv, valid)
+                data = {k: jnp.concatenate([v[:tcfg.ntx - 1], sl[k]],
+                                           axis=0) for k, v in data.items()}
+                alive = jnp.concatenate([alive[:tcfg.ntx - 1], sal], axis=0)
+                overflow = overflow + lost + lost2
+                return ({k: v.reshape(lead + shp) for k, v in data.items()},
+                        alive.reshape(lead + shp),
+                        next_id.reshape(lead), overflow.reshape(lead))
+
+            def local_flat(data, alive, next_id, overflow, nv, nn):
                 lead = alive.shape[:-1]
                 cap = alive.shape[-1]
                 data = {k: v.reshape(cap) for k, v in data.items()}
@@ -619,6 +657,8 @@ class StepBuilder:
                 return ({k: v.reshape(lead + (cap,)) for k, v in data.items()},
                         alive.reshape(lead + (cap,)),
                         next_id.reshape(lead), overflow.reshape(lead))
+
+            local = local_flat if tcfg is None else local_tiled
 
             dspec = {k: self._p_part for k in pstate.data}
             nvspec = {k: self._p_part for k in new_vals}
@@ -643,9 +683,13 @@ class StepBuilder:
             parts = []
             for ispec, sp in enumerate(self.species):
                 inj = injections[ispec]
+                tcfg = None
+                if tile_cfg is not None:
+                    import dataclasses as _dc
+                    tcfg = _dc.replace(tile_cfg, cap_t=sp.tile_cap)
                 parts.append(species_shift(state.particles[ispec],
                                            inj["vals"], inj["n"],
-                                           sp.migration_buf))
+                                           sp.migration_buf, tcfg))
             return state.replace(fields=f, particles=tuple(parts))
 
         return jax.jit(shift, donate_argnums=(0,))
