@@ -285,13 +285,13 @@ def _roll_with_edge_exchange(tree, axis: int, direction: int,
     return jax.tree.map(move, tree)
 
 
-def migrate_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
-                  cfg: TileCfg, specs: Tuple[HaloSpec, HaloSpec],
-                  nx_loc: int, ny_loc: int,
-                  axes: Tuple[int, ...] = (0, 1)):
-    """Re-bin particles to their home tiles (one pass per axis) and handle
-    device-edge crossings in the same motion. Dense: rolls + ppermute +
-    per-tile lax.sort merges. Returns (data, alive, n_lost).
+def migrate_tiled_sort3(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
+                        cfg: TileCfg, specs: Tuple[HaloSpec, HaloSpec],
+                        nx_loc: int, ny_loc: int,
+                        axes: Tuple[int, ...] = (0, 1)):
+    """Reference 3-buffer formulation of migrate_tiled (sorts a 3*cap_t
+    concat per axis). Superseded by the slab formulation below — kept as
+    the parity oracle for tests.
 
     ``axes`` restricts the passes (the moving-window shift only displaces
     particles along x, so it re-bins with axes=(0,))."""
@@ -361,18 +361,159 @@ def migrate_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
         data = {k: merged.get(k, data[k]) for k in data}
         alive = kept_keys < 2
 
-    # sanitize dead slots (w=0, in-range positions, unit inv_gamma)
+    return _sanitize_tiled(data, alive), alive, n_lost
+
+
+def _sanitize_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray):
+    """Dead slots: w=0, in-range positions, unit inv_gamma."""
+    data = dict(data)
     for k in ("x", "y", "z", "w", "ux", "uy", "uz", "tau", "event"):
         if k in data:
             data[k] = jnp.where(alive, data[k], jnp.zeros_like(data[k]))
     data["inv_gamma"] = jnp.where(alive, data["inv_gamma"],
                                   jnp.ones_like(data["inv_gamma"]))
-    return data, alive, n_lost
+    return data
+
+
+# attributes rewritten from scratch before any post-migration read: the
+# gathered fields (fresh gather each step) and chi (recomputed by
+# update_chi_and_events before use) — dead weight in the merge sorts
+_TRANSIENT = {"ex_part", "ey_part", "ez_part",
+              "bx_part", "by_part", "bz_part", "chi"}
+
+
+def migrate_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
+                  cfg: TileCfg, specs: Tuple[HaloSpec, HaloSpec],
+                  nx_loc: int, ny_loc: int,
+                  axes: Tuple[int, ...] = (0, 1), *,
+                  recompute_ig: bool = False):
+    """Re-bin particles to their home tiles and handle device-edge
+    crossings — the slab formulation.
+
+    Per axis, ONE cap_t-wide multi-operand lax.sort with the 5-way key
+
+        0: donor(+1)   1: dead(even slot)   2: stay
+        3: dead(odd)   4: donor(-1)
+
+    packs +1-donors into the front slab [0:m] and -1-donors into the back
+    slab [cap-m:], each padded by ~half the dead slots (the parity split
+    sends half the dead to each end). The m-wide slabs roll one tile over
+    (device-edge slabs ppermute to the neighbor shard), and arrivals
+    OVERWRITE the end slabs elementwise — no 3*cap concat merge. This is
+    ~4x less sort work than the 3-buffer formulation and 16x less
+    roll/ppermute traffic (the hot-loop profile showed the 3-buffer sorts
+    at ~80% of the full step at bench scale).
+
+    Survivors that sort into an end slab (possible only when a tile is so
+    full that donors+dead < m on that side) are clobbered and counted in
+    n_lost, like capacity overflow. Donors beyond m are dropped and
+    counted too; m = cap_t/4 (small caps) or cap_t/8 bounds the per-step,
+    per-axis donor flux of a CFL-limited run with a wide margin.
+
+    ``axes`` restricts the passes (the moving-window shift re-bins with
+    axes=(0,)). With ``recompute_ig`` (non-photon species), inv_gamma is
+    dropped from the sort payloads and recomputed as 1/sqrt(1+u^2) — one
+    fewer operand through the sorting network, bitwise-identical to the
+    carried value (the pusher computes it with the same expression).
+    """
+    cap = alive.shape[-1]
+    # m must exceed the per-axis donor flux (<= occupancy * 1.2/t per step,
+    # i.e. < cap/6.8 for t>=8 at capacity factor >= 1.5) and stay below the
+    # guaranteed dead-slot padding per end (dead/2 >= cap(1-1/f)/2 = cap/6
+    # at f=1.5). cap//8 sits between; residual losses are counted.
+    m = max(8, cap // 8)
+    n_lost = jnp.int32(0)
+    skip = set(_TRANSIENT)
+    if recompute_ig:
+        skip.add("inv_gamma")
+    names = sorted(k for k in data if k not in skip)
+
+    plan = ((cfg.tx, cfg.ntx, nx_loc, specs[0], "x"),
+            (cfg.ty, cfg.nty, ny_loc, specs[1], "y"))
+    for axis, (t, nt, nloc, spec, coord) in enumerate(plan):
+        if axis not in axes:
+            continue
+        pos = data[coord]
+        origin = jnp.arange(nt, dtype=pos.dtype) * t
+        origin = origin[:, None, None] if axis == 0 else origin[None, :, None]
+        local = pos - origin
+        out_hi = alive & (local >= t - 0.5)          # -> tile + 1
+        out_lo = alive & (local < -0.5)              # -> tile - 1
+        parity = (jnp.arange(cap, dtype=jnp.int32) & 1) == 0
+        key = jnp.where(out_hi, 0,
+                        jnp.where(out_lo, 4,
+                                  jnp.where(alive, 2,
+                                            jnp.where(parity, 1, 3))))
+        key = key.astype(jnp.int32)
+
+        ops = [data[k] for k in names]
+        sorted_ops = lax.sort([key] + ops, dimension=2, num_keys=1)
+        skey = sorted_ops[0]
+        sdata = dict(zip(names, sorted_ops[1:]))
+
+        # donors that did not fit in their slab are lost
+        n_lost = n_lost + (
+            jnp.sum(skey[..., m:] == 0)
+            + jnp.sum(skey[..., :cap - m] == 4)).astype(jnp.int32)
+
+        def send(sl, valid, direction):
+            """Roll an m-slab one tile over; wrapped rows cross the device
+            boundary (ppermute) with the +-nloc coordinate adjust."""
+            wrapped_idx = 0 if direction > 0 else nt - 1
+            tile_idx = jnp.arange(nt)
+            tile_idx = tile_idx[:, None, None] if axis == 0 else \
+                tile_idx[None, :, None]
+            from_wrap = (tile_idx == wrapped_idx)
+            moved, valid_m = _roll_with_edge_exchange((sl, valid), axis,
+                                                      direction, spec)
+            adj = jnp.asarray(-nloc if direction > 0 else nloc, pos.dtype)
+            moved = dict(moved)
+            moved[coord] = jnp.where(from_wrap, moved[coord] + adj,
+                                     moved[coord])
+            if not spec.periodic:
+                i = lax.axis_index(spec.axis_name)
+                edge = (i == 0) if direction > 0 else (i == spec.size - 1)
+                valid_m = valid_m & ~(from_wrap & edge)
+            return moved, valid_m
+
+        up_sl = {k: v[..., :m] for k, v in sdata.items()}
+        dn_sl = {k: v[..., cap - m:] for k, v in sdata.items()}
+        in_lo, val_lo = send(up_sl, skey[..., :m] == 0, +1)
+        in_hi, val_hi = send(dn_sl, skey[..., cap - m:] == 4, -1)
+
+        # arrivals merge INTO the end slabs: in the receiver's front slab
+        # the surviving stays are back-packed (key order up < dead_even <
+        # stay) while arrivals are front-packed (the sender's ups sort
+        # first), so they collide only on genuine overflow — symmetrical
+        # for the back slab (stay < dead_odd < down). Collisions lose the
+        # stay and are counted like capacity overflow.
+        stay_lo = skey[..., :m] == 2
+        stay_hi = skey[..., cap - m:] == 2
+        n_lost = n_lost + (jnp.sum(stay_lo & val_lo)
+                           + jnp.sum(stay_hi & val_hi)).astype(jnp.int32)
+        mid_alive = skey[..., m:cap - m] == 2
+        data = {k: jnp.concatenate(
+                    [jnp.where(val_lo, in_lo[k].astype(v.dtype),
+                               sdata[k][..., :m]),
+                     sdata[k][..., m:cap - m],
+                     jnp.where(val_hi, in_hi[k].astype(v.dtype),
+                               sdata[k][..., cap - m:])],
+                    axis=-1) if k in sdata else v
+                for k, v in data.items()}
+        alive = jnp.concatenate([val_lo | stay_lo, mid_alive,
+                                 val_hi | stay_hi], axis=-1)
+
+    if recompute_ig:
+        # same expression shape as boris_push (ops/pusher.py:56) so the
+        # recomputed value is bitwise-identical to the carried one
+        data["inv_gamma"] = 1.0 / jnp.sqrt(
+            1.0 + data["ux"]**2 + data["uy"]**2 + data["uz"]**2)
+    return _sanitize_tiled(data, alive), alive, n_lost
 
 
 def insert_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
                  next_id: jnp.ndarray, new_vals: Dict[str, jnp.ndarray],
-                 valid: jnp.ndarray):
+                 valid: jnp.ndarray, device_id=None):
     """Tile-aligned in-step creation (QED photon/pair birth): newborns sit
     at their parent's slot in the parent species' tile layout, and a
     newborn's position equals its parent's, so its home tile is the
@@ -411,7 +552,13 @@ def insert_tiled(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
         if k == "id_lo":
             nv = ids
         elif k == "id_hi":
-            nv = jnp.broadcast_to(arr[..., :1], valid.shape)
+            # newborns belong to THIS device: a tile's slot contents can be
+            # immigrants carrying a foreign id_hi, so never copy from them
+            if device_id is None:
+                nv = jnp.broadcast_to(arr[..., :1], valid.shape)
+            else:
+                nv = jnp.full(valid.shape, 0, arr.dtype) + \
+                    device_id.astype(arr.dtype)
         elif k in new_vals:
             nv = jnp.where(valid, new_vals[k].astype(arr.dtype), 0)
         elif k == "inv_gamma":

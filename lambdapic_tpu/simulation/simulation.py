@@ -374,8 +374,6 @@ class Simulation:
                 f"by the tile size ({tx}x{ty})")
         if tx < 2 * g.n_guard or ty < 2 * g.n_guard:
             raise ValueError("tile size must be >= 2*n_guard")
-        if getattr(self, "_collision_groups", None):
-            raise NotImplementedError("tiling does not support collisions yet")
 
     def _tiled_state(self, sp, arrays, alive_np, dtype):
         """Build a ParticlesState from tiled host arrays

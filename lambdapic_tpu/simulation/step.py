@@ -303,8 +303,9 @@ class StepBuilder:
 
             # migration (reference patches.sync_particles + MPI variant)
             if tile_cfg is not None:
-                data, alive, lost = migrate_tiled(data, alive, tile_cfg,
-                                                  specs, nloc[0], nloc[1])
+                data, alive, lost = migrate_tiled(
+                    data, alive, tile_cfg, specs, nloc[0], nloc[1],
+                    recompute_ig=(sp.pusher != "photon"))
             elif ndim == 2:
                 data, alive, lost = migrate_2d(data, alive, specs,
                                                nloc[0], nloc[1],
@@ -407,6 +408,8 @@ class StepBuilder:
         mesh_shape = self.grid.mesh_shape
         dt = self.dt
 
+        nm = len(mesh_shape)
+
         def local(key, *flat):
             didx = jnp.int32(0)
             for name, size in zip(axis_names, mesh_shape):
@@ -416,16 +419,19 @@ class StepBuilder:
             caps = {}
             for k, ispec in enumerate(ispecs):
                 data, alive = flat[2 * k], flat[2 * k + 1]
-                cap = alive.shape[-1]
-                caps[ispec] = (alive.shape[:-1], cap)
+                # flatten every non-mesh axis: collisions only modify
+                # momenta in place, so the tiled (ntx, nty, cap_t) layout
+                # can run the flat per-device pairing unchanged
+                shp = alive.shape[nm:]
+                caps[ispec] = (alive.shape[:nm], shp)
                 species_data[ispec] = (
-                    {kk: v.reshape(cap) for kk, v in data.items()},
-                    alive.reshape(cap))
+                    {kk: v.reshape(-1) for kk, v in data.items()},
+                    alive.reshape(-1))
             out = col.apply_local(species_data, dt, dkey)
             result = []
             for ispec in ispecs:
-                lead, cap = caps[ispec]
-                result.append({kk: v.reshape(lead + (cap,))
+                lead, shp = caps[ispec]
+                result.append({kk: v.reshape(lead + shp)
                                for kk, v in out[ispec].items()})
             return tuple(result)
 
@@ -457,6 +463,14 @@ class StepBuilder:
         parts = list(parts)
         tiled = self.tile_cfg is not None
         nlocal = 3 if tiled else 1       # (ntx, nty, cap_t) vs (cap,)
+        g_axes = self.grid.axis_names
+        g_mesh = self.grid.mesh_shape
+
+        def device_index():
+            didx = jnp.int32(0)
+            for name, size in zip(g_axes, g_mesh):
+                didx = didx * size + jax.lax.axis_index(name)
+            return didx
 
         def squeeze(d, a, *rest):
             shp = a.shape[-nlocal:]
@@ -478,7 +492,8 @@ class StepBuilder:
                     ev = ealive & (edata["event"] > 0)
                     new = proc.photon_newborns(edata, ndim)
                     phdata, phalive, phnext, lost = insert_tiled(
-                        phdata, phalive, phnext, new, ev)
+                        phdata, phalive, phnext, new, ev,
+                        device_id=device_index())
                     phover = phover + lost
                     edata = proc.apply_recoil(edata, ev)
                 else:
@@ -524,10 +539,11 @@ class StepBuilder:
                     from ..ops.tiled2d import insert_tiled
                     ev = phalive & (phdata["event"] > 0)
                     new_e, new_p = proc.pair_newborns(phdata, ndim)
+                    didx = device_index()
                     edata, ealive, enext, lost_e = insert_tiled(
-                        edata, ealive, enext, new_e, ev)
+                        edata, ealive, enext, new_e, ev, device_id=didx)
                     pdata, palive, pnext, lost_p = insert_tiled(
-                        pdata, palive, pnext, new_p, ev)
+                        pdata, palive, pnext, new_p, ev, device_id=didx)
                     eover = eover + lost_e
                     pover = pover + lost_p
                     phdata, phalive = proc.remove_parents(phdata, phalive,
@@ -627,8 +643,11 @@ class StepBuilder:
                 sl = {k: v[tcfg.ntx - 1:] for k, v in data.items()}
                 sal = alive[tcfg.ntx - 1:]
                 newv = {k: v[None] for k, v in nv.items()}
-                sl, sal, next_id, lost2 = insert_tiled(sl, sal, next_id,
-                                                       newv, valid)
+                didx = jnp.int32(0)
+                for name, size in zip(grid.axis_names, grid.mesh_shape):
+                    didx = didx * size + jax.lax.axis_index(name)
+                sl, sal, next_id, lost2 = insert_tiled(
+                    sl, sal, next_id, newv, valid, device_id=didx)
                 data = {k: jnp.concatenate([v[:tcfg.ntx - 1], sl[k]],
                                            axis=0) for k, v in data.items()}
                 alive = jnp.concatenate([alive[:tcfg.ntx - 1], sal], axis=0)

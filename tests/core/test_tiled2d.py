@@ -184,3 +184,65 @@ def test_migrate_tiled_rebins():
     np.testing.assert_allclose(
         np.sort(wrap(x2[a2], NX)), np.sort(wrap(np.asarray(
             data["x"])[np.asarray(alive)], NX)), rtol=1e-12)
+
+
+def test_migrate_slab_matches_sort3():
+    """The slab migration (one cap-wide 5-way-key sort + end-slab
+    overwrite) must produce the same alive-particle multiset per tile as
+    the 3-buffer reference formulation."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from lambdapic_tpu.ops.tiled2d import migrate_tiled_sort3
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    rng = np.random.default_rng(7)
+    n = 250
+    x = rng.uniform(0.0, NX - 1.0, n)
+    y = rng.uniform(0.0, NY - 1.0, n)
+    w = rng.uniform(0.5, 1.5, n)
+    u = rng.standard_normal((3, n))
+    data, alive = bin_particles(
+        x, y, CFG, {"w": w, "ux": u[0], "uy": u[1], "uz": u[2],
+                    "inv_gamma": 1.0 / np.sqrt(1 + (u**2).sum(0))})
+    shift = rng.uniform(-1.0, 1.0, size=(2, n))
+    ds, _ = bin_particles(x, y, CFG, {"sx": shift[0], "sy": shift[1]})
+    data["x"] = data["x"] + ds["sx"] * np.asarray(alive)
+    data["y"] = data["y"] + ds["sy"] * np.asarray(alive)
+    data.pop("sx", None)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1], dtype=object).reshape(1, 1),
+                ("px", "py"))
+    specs = (HaloSpec("px", 1, True), HaloSpec("py", 1, True))
+    jd = {k: jnp.asarray(v)[None, None] for k, v in data.items()}
+    ja = jnp.asarray(alive)[None, None]
+
+    def run(fn_migrate, **kw):
+        def local(d, a):
+            d = {k: v.reshape(v.shape[2:]) for k, v in d.items()}
+            a = a.reshape(a.shape[2:])
+            d, a, lost = fn_migrate(d, a, CFG, specs, NX, NY, **kw)
+            return ({k: v[None, None] for k, v in d.items()},
+                    a[None, None], lost.reshape(1, 1))
+        dspec = {k: P("px", "py") for k in jd}
+        f = shard_map(local, mesh=mesh, in_specs=(dspec, P("px", "py")),
+                      out_specs=(dspec, P("px", "py"), P("px", "py")),
+                      check_vma=False)
+        d2, a2, lost = f(jd, ja)
+        return ({k: np.asarray(v)[0, 0] for k, v in d2.items()},
+                np.asarray(a2)[0, 0], int(np.asarray(lost).ravel()[0]))
+
+    d_ref, a_ref, lost_ref = run(migrate_tiled_sort3)
+    d_new, a_new, lost_new = run(migrate_tiled, recompute_ig=True)
+    assert lost_ref == lost_new == 0
+    assert a_ref.sum() == a_new.sum() == n
+    for ti in range(CFG.ntx):
+        for tj in range(CFG.nty):
+            sr, sn = a_ref[ti, tj], a_new[ti, tj]
+            assert sr.sum() == sn.sum(), (ti, tj)
+            for k in ("x", "y", "w", "ux", "uy", "uz", "inv_gamma"):
+                np.testing.assert_allclose(
+                    np.sort(d_new[k][ti, tj][sn]),
+                    np.sort(d_ref[k][ti, tj][sr]),
+                    rtol=1e-12, atol=1e-15, err_msg=f"{k} tile {ti},{tj}")

@@ -160,3 +160,34 @@ def test_collision_in_simulation():
     for k in ("ux", "uy"):
         assert np.isfinite(sim.get_particles(0)[k]).all()
         assert np.isfinite(sim.get_particles(1)[k]).all()
+
+
+def test_collision_in_tiled_simulation():
+    """Collisions under the tiled engine: the flat per-device pairing runs
+    on the flattened (ntx, nty, cap_t) view (momenta-only updates keep the
+    binning valid). Conserves energy and changes momenta."""
+    from lambdapic_tpu import Electron, Proton, Simulation
+
+    def run(with_collisions):
+        _ALL_SPECIES.clear()
+        nc = 1.742e27
+        e1 = Electron(density=lambda x, y: 10 * nc, ppc=8)
+        pro = Proton(density=lambda x, y: 10 * nc, ppc=8)
+        bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
+        sim = Simulation(nx=16, ny=16, dx=1e-7, dy=1e-7,
+                         npatch_x=2, npatch_y=2, boundary_conditions=bc,
+                         random_seed=0, precision="double", tiling=(8, 8))
+        sim.add_species([e1, pro])
+        if with_collisions:
+            sim.add_collision([[e1, e1, pro]], lnLambda=2.0)
+        sim.run(nsteps=2, callbacks=[SetTemperature(e1, 1000.0)])
+        return sim
+
+    sim = run(True)
+    p0, p1 = sim.get_particles(0), sim.get_particles(1)
+    assert np.isfinite(p0["ux"]).all() and np.isfinite(p1["ux"]).all()
+    sim_nc = run(False)
+    # with a hot electron population the collisional run must diverge from
+    # the collisionless one (momenta exchanged within cells)
+    assert not np.allclose(np.sort(p0["ux"]),
+                           np.sort(sim_nc.get_particles(0)["ux"]))
