@@ -30,6 +30,11 @@ def build(config, args):
     nc = 1.742e27
     tiling = None if args.tiling == "none" else tuple(
         int(v) for v in args.tiling.split(","))
+    rebin = args.rebin if tiling is not None else 1
+    # tile halo must cover R steps of CFL drift (see Simulation validation)
+    import math
+    n_guard = 3 if rebin <= 1 else 2 + math.ceil(rebin * 0.95 / 2**0.5)
+    tiled_kw = dict(tiling=tiling, rebin_interval=rebin, n_guard=n_guard)
     cbs = []
 
     if config == "laser-target":
@@ -43,7 +48,7 @@ def build(config, args):
         pro = Proton(density=density, ppc=args.ppc)
         sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
                          npatch_x=1, npatch_y=1, random_seed=0,
-                         precision="single", tiling=tiling)
+                         precision="single", **tiled_kw)
         sim.add_species([ele, pro])
         cbs = [SimpleLaser2D(a0=30, w0=3 * um, ctau=8 * um)]
     elif config == "vacuum":
@@ -117,8 +122,13 @@ def main():
     ap.add_argument("--tiling", type=str, default="16,16",
                     help="'TX,TY' tile-binned dense path (laser-target "
                          "only), or 'none'")
-    ap.add_argument("--chunk", type=int, default=16,
-                    help="fuse up to N steps per dispatch (lax.scan)")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="fuse up to N steps per dispatch (lax.scan); "
+                         "1 = per-step dispatch (pipelines fine through "
+                         "the async queue and compiles 8x faster)")
+    ap.add_argument("--rebin", type=int, default=4,
+                    help="tiled re-binning interval (migration every R "
+                         "steps; widens the tile halo accordingly)")
     args = ap.parse_args()
 
     os.environ.setdefault("LAMBDAPIC_LOG_LEVEL", "WARNING")
@@ -136,6 +146,7 @@ def main():
     if args.chunk > 1:
         # compile every chunk-size kernel outside the timed region
         args.warmup = max(args.warmup, args.chunk + 4 + 1)
+    args.warmup = max(args.warmup, getattr(sim, "rebin_interval", 1) + 1)
 
     sim.run(nsteps=args.warmup, callbacks=cbs)
     jax.block_until_ready(sim.state)

@@ -48,8 +48,10 @@ from jax.experimental import pallas as pl
 
 from .tiled2d import TileCfg
 
-# rows per stacked section; 24 >= wx=22 keeps section offsets 8-aligned
-_SEC = 24
+def _sec(w: int) -> int:
+    """Rows per stacked section: the window width rounded up to a multiple
+    of 8 so section offsets stay 8-aligned (sublane boundary)."""
+    return ((w + 7) // 8) * 8
 
 
 def _use_interpret() -> bool:
@@ -152,6 +154,7 @@ def _gather_kernel(win_ref, x_ref, y_ref,
                    ex_ref, ey_ref, ez_ref, bx_ref, by_ref, bz_ref,
                    *, tj: int, wx: int, wy: int):
     dtype = x_ref.dtype
+    _SEC = _sec(max(wx, wy))
     for j in range(tj):
         xw = x_ref[0, j, :]
         yw = y_ref[0, j, :]
@@ -161,25 +164,30 @@ def _gather_kernel(win_ref, x_ref, y_ref,
         hy = _taps2(yw, wy, 0.5)
 
         w = win_ref[:, 0, :, j, :]        # (6, wx, wy)
-        # one (3*_SEC, wy) x (wy, cap) dot per y-tap group
+        # ONE block-diagonal dot for both y-tap groups: [A 0; 0 B] (2*3SEC,
+        # 2wy) x [gy; hy] (2wy, cap). K = 2wy halves the K->128 MXU padding
+        # waste of two separate wy-contraction dots.
         A = jnp.concatenate([_pad_rows(w[0], _SEC), _pad_rows(w[2], _SEC),
                              _pad_rows(w[4], _SEC)], axis=0)
         B = jnp.concatenate([_pad_rows(w[1], _SEC), _pad_rows(w[3], _SEC),
                              _pad_rows(w[5], _SEC)], axis=0)
-        tA = jnp.dot(A, gy, preferred_element_type=dtype,
-                           precision=lax.Precision.HIGHEST)   # (72, cap)
-        tB = jnp.dot(B, hy, preferred_element_type=dtype,
-                           precision=lax.Precision.HIGHEST)
+        zA = jnp.zeros_like(A)
+        zB = jnp.zeros_like(B)
+        AB = jnp.concatenate([jnp.concatenate([A, zA], axis=1),
+                              jnp.concatenate([zB, B], axis=1)], axis=0)
+        W2 = jnp.concatenate([gy, hy], axis=0)       # (2wy, cap)
+        t2 = jnp.dot(AB, W2, preferred_element_type=dtype,
+                     precision=lax.Precision.HIGHEST)  # (6*_SEC, cap)
 
-        def red(t, lo, Wx):
-            return jnp.sum(Wx * t[lo:lo + wx], axis=0)
+        def red(lo, Wx):
+            return jnp.sum(Wx * t2[lo:lo + wx], axis=0)
 
-        ex_ref[0, j, :] = red(tA, 0, hx)
-        ez_ref[0, j, :] = red(tA, _SEC, gx)
-        by_ref[0, j, :] = red(tA, 2 * _SEC, hx)
-        ey_ref[0, j, :] = red(tB, 0, gx)
-        bx_ref[0, j, :] = red(tB, _SEC, gx)
-        bz_ref[0, j, :] = red(tB, 2 * _SEC, hx)
+        ex_ref[0, j, :] = red(0, hx)
+        ez_ref[0, j, :] = red(_SEC, gx)
+        by_ref[0, j, :] = red(2 * _SEC, hx)
+        ey_ref[0, j, :] = red(3 * _SEC, gx)
+        bx_ref[0, j, :] = red(4 * _SEC, gx)
+        bz_ref[0, j, :] = red(5 * _SEC, hx)
 
 
 def gather_tiled_pallas(windows: jnp.ndarray, x, y, cfg: TileCfg):
@@ -212,6 +220,7 @@ def _deposit_kernel(x_ref, y_ref, vxc_ref, vyc_ref, cvz_ref, w_ref,
                     o_ref, *, tj: int, wx: int, wy: int,
                     q_dxdy: float, q_dydt: float, q_dxdt: float):
     dtype = x_ref.dtype
+    _SEC = _sec(max(wx, wy))
     for j in range(tj):
         xw = x_ref[0, j, :]
         yw = y_ref[0, j, :]

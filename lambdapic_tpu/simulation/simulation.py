@@ -129,6 +129,11 @@ class Simulation:
     # ops/tiled2d_pallas.py), XLA dense taps on CPU; or force
     # "pallas" / "xla"
     tiling_backend: str = "auto"
+    # tiled path: re-bin particles to tiles every R steps instead of every
+    # step. The migration sorts dominate the step cost, so this divides
+    # them by R; requires n_guard wide enough to cover R steps of CFL
+    # drift (validated at initialize)
+    rebin_interval: int = 1
     # TPU extra: fuse up to N steps into one lax.scan dispatch when no host
     # callback is due (amortizes dispatch latency; costs one extra compile
     # per chunk size). 1 = off.
@@ -374,6 +379,15 @@ class Simulation:
                 f"by the tile size ({tx}x{ty})")
         if tx < 2 * g.n_guard or ty < 2 * g.n_guard:
             raise ValueError("tile size must be >= 2*n_guard")
+        if self.rebin_interval > 1:
+            import math
+            max_cdt = c_light * self.dt / min(self.dx, self.dy)
+            need = 2 + math.ceil(self.rebin_interval * max_cdt - 1e-12)
+            if g.n_guard < need:
+                raise ValueError(
+                    f"rebin_interval={self.rebin_interval} needs n_guard >="
+                    f" {need} (tile halo must cover the accumulated CFL "
+                    f"drift); got {g.n_guard}")
 
     def _tiled_state(self, sp, arrays, alive_np, dtype):
         """Build a ParticlesState from tiled host arrays
@@ -486,9 +500,12 @@ class Simulation:
             qed_processes=getattr(self, "_qed_processes", ()),
             collisions=collisions,
             switches=getattr(self, "_switches", None),
-            tile_cfg=tile_cfg, tile_backend=tile_backend)
+            tile_cfg=tile_cfg, tile_backend=tile_backend,
+            rebin_interval=self.rebin_interval)
         self._builder = builder
         self._rho_fns = {}
+        self._multi_steps = {}
+        self._full_step_nm = None
         (self._full_step, self._seg1, self._seg2, self._seg3) = \
             builder.compile()
 
@@ -529,6 +546,14 @@ class Simulation:
                             return 1
             return max_k
         return max_k
+
+    def _full_step_nomigrate(self):
+        if getattr(self, "_full_step_nm", None) is None:
+            from functools import partial
+            self._full_step_nm = jax.jit(
+                partial(self._builder.full_step, migrate=False),
+                donate_argnums=(0,))
+        return self._full_step_nm
 
     def _get_multi_step(self, k: int):
         if not hasattr(self, "_multi_steps"):
@@ -599,9 +624,11 @@ class Simulation:
                     free = self._steps_until_host_event(
                         cbs, min(self.step_chunk,
                                  nsteps_total - self.itime), stop_callback)
+                    R = self.rebin_interval
                     k = 1
                     for cand in self.CHUNK_SIZES:
-                        if cand <= free and cand <= self.step_chunk:
+                        if cand <= free and cand <= self.step_chunk and \
+                                cand % R == 0 and self.itime % R == 0:
                             k = cand
                             break
                     if k > 1:
@@ -623,8 +650,17 @@ class Simulation:
                               or cbs.due("current_deposition")
                               or cbs.due("qed_create_particles"))
                 if not inner_host:
+                    # tiled R-step re-binning: skip the migration sorts on
+                    # steps that are not at the end of an R-block (the
+                    # split path below always migrates — early re-binning
+                    # is always safe)
+                    R = self.rebin_interval
+                    if R > 1 and (self.itime % R) != R - 1:
+                        fn = self._full_step_nomigrate()
+                    else:
+                        fn = self._full_step
                     with Timer("full step", sync=None):
-                        self.state = self._full_step(self.state, sc)
+                        self.state = fn(self.state, sc)
                 else:
                     with Timer("fields 1"):
                         self.state = self._seg1(self.state, sc)

@@ -71,7 +71,8 @@ class StepBuilder:
                  sorters: Sequence = (), collisions=None,
                  switches: Optional[Dict[str, bool]] = None,
                  tile_cfg: Optional[TileCfg] = None,
-                 tile_backend: str = "xla"):
+                 tile_backend: str = "xla",
+                 rebin_interval: int = 1):
         # tile-binned dense particle path (ops/tiled2d.py); None = the
         # reference-layout scatter/gather path
         self.tile_cfg = tile_cfg
@@ -79,6 +80,11 @@ class StepBuilder:
         # "pallas": taps fused into per-tile VMEM contractions
         # (ops/tiled2d_pallas.py)
         self.tile_backend = tile_backend
+        # tiled path: re-bin every R steps instead of every step (the tile
+        # halo h = n_guard must cover R steps of CFL drift; validated by
+        # Simulation). The migration sorts are the dominant step cost, so
+        # this divides them by R.
+        self.rebin_interval = rebin_interval
         # runtime operator toggles (reference EnableMixin,
         # core/utils/enable_mixin.py:4-38): maxwell, pusher,
         # current_deposition, qed, collisions, interpolation
@@ -149,10 +155,13 @@ class StepBuilder:
         return self._smap(red, (self._p_stack,), self._p_stack)
 
     # ------------------------------------------------------------------
-    def make_species_block(self, ispec: int) -> Callable:
+    def make_species_block(self, ispec: int, migrate: bool = True
+                           ) -> Callable:
         """Fused per-species particle stage (reference stage sequence
         «_push_position_1 .. current_deposition» plus migration,
-        simulation.py:983-1077)."""
+        simulation.py:983-1077). ``migrate=False`` (tiled path only) skips
+        the re-binning pass — legal for up to rebin_interval-1 consecutive
+        steps when the tile halo covers the accumulated drift."""
         grid = self.grid
         sp = self.species[ispec]
         g = grid.n_guard
@@ -302,7 +311,9 @@ class StepBuilder:
                 jpad = jnp.zeros((4,) + pshape, dtype=pos[0].dtype)
 
             # migration (reference patches.sync_particles + MPI variant)
-            if tile_cfg is not None:
+            if tile_cfg is not None and not migrate:
+                lost = jnp.int32(0)
+            elif tile_cfg is not None:
                 data, alive, lost = migrate_tiled(
                     data, alive, tile_cfg, specs, nloc[0], nloc[1],
                     recompute_ig=(sp.pusher != "photon"))
@@ -732,7 +743,8 @@ class StepBuilder:
             f = self._apply_damping(f)
         return state.replace(fields=f)
 
-    def seg_particles(self, state: SimulationState, scalars) -> SimulationState:
+    def seg_particles(self, state: SimulationState, scalars,
+                      migrate: bool = True) -> SimulationState:
         """sort/collisions/species blocks/current reduction
         (reference simulation.py:966-1080)."""
         key = scalars.get("key", jax.random.PRNGKey(0))
@@ -748,7 +760,7 @@ class StepBuilder:
         jpad_total = None
         new_parts: List[ParticlesState] = []
         for ispec in range(len(self.species)):
-            block = self.make_species_block(ispec)
+            block = self.make_species_block(ispec, migrate=migrate)
             kspec = jax.random.fold_in(key, ispec)
             pnew, jpad = block(eb_pad, particles[ispec], kspec)
             new_parts.append(pnew)
@@ -779,9 +791,10 @@ class StepBuilder:
             f = self._apply_damping(f)
         return state.replace(fields=f)
 
-    def full_step(self, state: SimulationState, scalars) -> SimulationState:
+    def full_step(self, state: SimulationState, scalars,
+                  migrate: bool = True) -> SimulationState:
         state = self.seg_fields_1(state, scalars)
-        state = self.seg_particles(state, scalars)
+        state = self.seg_particles(state, scalars, migrate=migrate)
         state = self.seg_fields_2(state, scalars)
         return state
 
@@ -789,11 +802,31 @@ class StepBuilder:
                    ) -> SimulationState:
         """K steps fused into one executable via lax.scan — the TPU-native
         analog of running without per-step host dispatch. ``scalars_stacked``
-        is the per-step scalars pytree with a leading K axis."""
-        def body(s, sc):
-            return self.full_step(s, sc), None
+        is the per-step scalars pytree with a leading K axis.
 
-        return jax.lax.scan(body, state, scalars_stacked)[0]
+        With rebin_interval R > 1 the scan iterates over R-step blocks
+        (K must be a multiple of R and the entry state freshly binned,
+        i.e. itime % R == 0 — the run loop guarantees both): only the last
+        step of each block migrates."""
+        R = self.rebin_interval
+        if R <= 1:
+            def body(s, sc):
+                return self.full_step(s, sc), None
+
+            return jax.lax.scan(body, state, scalars_stacked)[0]
+
+        k = jax.tree.leaves(scalars_stacked)[0].shape[0]
+        assert k % R == 0, (k, R)
+
+        def body(s, sc_block):
+            for j in range(R):
+                scj = jax.tree.map(lambda a: a[j], sc_block)
+                s = self.full_step(s, scj, migrate=(j == R - 1))
+            return s, None
+
+        blocked = jax.tree.map(
+            lambda a: a.reshape((k // R, R) + a.shape[1:]), scalars_stacked)
+        return jax.lax.scan(body, state, blocked)[0]
 
     def compile(self):
         """Return (full, seg1, seg2, seg3) jitted with donation."""

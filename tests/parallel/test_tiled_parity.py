@@ -23,7 +23,7 @@ def clear_species_registry():
 
 
 def run_case(tiling, periodic, nsteps=6, mesh=(2, 2), seed=11,
-             backend="auto"):
+             backend="auto", **kw):
     _ALL_SPECIES.clear()
     if periodic:
         bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
@@ -39,7 +39,7 @@ def run_case(tiling, periodic, nsteps=6, mesh=(2, 2), seed=11,
                      npatch_x=mesh[0], npatch_y=mesh[1],
                      boundary_conditions=bc, random_seed=seed,
                      precision="double", tiling=tiling,
-                     tiling_backend=backend)
+                     tiling_backend=backend, **kw)
     sim.add_species([ele, pro])
     laser = SimpleLaser2D(a0=8, w0=2 * um, ctau=2 * um)
     cbs = [] if periodic else [laser]
@@ -79,6 +79,26 @@ def test_pallas_backend_matches_xla_backend():
     for i in range(2):
         for k in ("x", "y", "ux", "uy", "uz", "w"):
             np.testing.assert_allclose(np.sort(p_pl[i][k]),
+                                       np.sort(p_ref[i][k]),
+                                       rtol=1e-9, atol=1e-12,
+                                       err_msg=f"species {i} {k}")
+
+
+@pytest.mark.parametrize("rebin,chunk", [(2, 1), (4, 1), (4, 4)])
+def test_rebin_interval_matches_every_step(rebin, chunk):
+    """rebin_interval=R (migration sorts every R steps, wider tile halo)
+    must reproduce the every-step re-binning run — also through the
+    chunked lax.scan dispatch (R-step blocks inside the scan body)."""
+    f_ref, p_ref = run_case((16, 16), False, nsteps=8)
+    f_r, p_r = run_case((16, 16), False, nsteps=8, n_guard=rebin + 3,
+                        rebin_interval=rebin, step_chunk=chunk)
+    for name in f_ref:
+        scale = np.abs(f_ref[name]).max() + 1e-30
+        np.testing.assert_allclose(f_r[name], f_ref[name],
+                                   atol=1e-9 * scale, err_msg=name)
+    for i in range(2):
+        for k in ("x", "y", "ux", "uy", "w"):
+            np.testing.assert_allclose(np.sort(p_r[i][k]),
                                        np.sort(p_ref[i][k]),
                                        rtol=1e-9, atol=1e-12,
                                        err_msg=f"species {i} {k}")
