@@ -68,7 +68,7 @@ def build(config, args):
         ele = Electron(density=density, ppc=args.ppc)
         sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
                          npatch_x=1, npatch_y=1, random_seed=0,
-                         precision="single")
+                         precision="single", **tiled_kw)
         sim.add_species([ele])
         cbs = [SimpleLaser2D(a0=2, w0=5 * um, ctau=5 * um),
                MovingWindow(velocity=c, start_time=args.nx * dx / c / 4)]
@@ -85,7 +85,7 @@ def build(config, args):
         pro = Proton(density=density, ppc=args.ppc)
         sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
                          npatch_x=1, npatch_y=1, random_seed=0,
-                         precision="single")
+                         precision="single", **tiled_kw)
         sim.add_species([ele, pro, pho])
         cbs = [SimpleLaser2D(a0=300, w0=3 * um, ctau=8 * um)]
     elif config == "laser-target-3d":
