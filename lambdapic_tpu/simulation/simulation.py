@@ -307,6 +307,10 @@ class Simulation:
 
         if self.tiling is not None:
             self._validate_tiling()
+        elif self.rebin_interval != 1:
+            raise ValueError(
+                "rebin_interval requires the tiled engine (tiling=); the "
+                "scatter path migrates with fixed-width guards every step")
         seed = self._config.random_seed if self._config.random_seed is not None else 0
         parts = []
         self._species_static = []
@@ -796,6 +800,23 @@ class Simulation:
     @property
     def npart_alive(self) -> List[int]:
         return [int(np.asarray(p.alive).sum()) for p in self.state.particles]
+
+    def load_imbalance(self) -> float:
+        """(max - min) / mean of per-device alive-particle counts — the
+        metric the reference's LoadBalancer triggers on (reference
+        core/mpi/load_balancer.py:32-52). This framework shards patches
+        statically (device = patch), so imbalance is surfaced for the user
+        to act on (choose npatch_*, domain split) rather than rebalanced by
+        shipping patches between ranks."""
+        ndev = len(self.mesh.devices.flat)
+        per_dev = np.zeros(ndev)
+        for p in self.state.particles:
+            a = np.asarray(p.alive)
+            per_dev += a.reshape(ndev, -1).sum(axis=1)
+        mean = per_dev.mean()
+        if mean == 0:
+            return 0.0
+        return float((per_dev.max() - per_dev.min()) / mean)
 
     def _species_deposit(self, ispec: int) -> np.ndarray:
         if not hasattr(self, "_rho_fns"):

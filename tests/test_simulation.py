@@ -174,3 +174,20 @@ def test_single_precision_runs():
     sim.run(nsteps=3, callbacks=[laser])
     assert np.isfinite(sim.get_field("ey")).all()
     assert sim.get_field("ey").dtype == np.float32
+
+
+def test_load_imbalance_metric():
+    """Static-sharding divergence: imbalance is surfaced as a metric
+    (reference LoadBalancer trigger, core/mpi/load_balancer.py:32-52)."""
+    sim = make_laser_target()          # plasma only at x > 2um: devices
+    sim.initialize()                   # in the left column are empty
+    m = sim.load_imbalance()
+    assert m > 0.5                     # strongly imbalanced by design
+    # uniform fill -> balanced
+    _ALL_SPECIES.clear()
+    ele = Electron(density=lambda x, y: 5 * nc, ppc=4)
+    sim2 = Simulation(nx=64, ny=64, dx=l0 / 10, dy=l0 / 10,
+                      npatch_x=2, npatch_y=2, random_seed=0)
+    sim2.add_species([ele])
+    sim2.initialize()
+    assert sim2.load_imbalance() < 0.01
