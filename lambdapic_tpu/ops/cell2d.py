@@ -1,0 +1,214 @@
+"""Cell-binned particle kernels (2D) — the round-2 hot-loop design.
+
+Layout: particles live in per-CELL slots, shape (cap_c, nx_loc, ny_loc) —
+slots on the sublane axis (cap_c = a vreg's worth, 8/16/32), cells on the
+lane axes. Invariant: slot (s, ix, iy) holds a particle with
+floor(x + 0.5) == ix (positions stay device-local cell units).
+
+Why: the tile-binned dense engine (ops/tiled2d.py) inflates per-particle
+work by the window volume (w^2 in 2D, w^3 in 3D — fatal in 3D) to buy
+MXU-regular access. With per-cell binning the shape-function footprint is
+a STATIC stencil relative to the array position, so gather/deposit become
+a fixed loop over stencil offsets:
+
+    acc += shifted_field[ox, oy] * M2(ox - dx) * M2(oy - dy)
+
+— pure VPU elementwise work at TRUE per-particle cost (f32-exact: no MXU
+bf16-truncation tax), and the "shifted field" is a static slice of the
+padded array. Deposition reduces each offset's contribution over the
+slot (sublane) axis and slice-adds it into the padded J — a scatter-free
+Esirkepov. Migration is a +-1 roll along a cell axis (device edges
+ppermute, reusing the tiled machinery) plus a slot-axis merge sort over
+3*cap_c sublanes.
+
+Numerical contract identical to ops/interpolation.py::gather_eb_2d and
+ops/deposition.py::deposit_2d (reference interpolation/cpu2d.c:7-154,
+current_deposit.h:7-203). Offsets: integer taps live on {-1,0,1}, half
+taps on {-2,...,1} (<=3 nonzero), and the post-push deposit spans
+{-3,...,3} per axis (|cell drift| < 1 + CFL/2 before re-binning), which
+is exactly covered by n_guard = 3.
+
+Known limitation (why this is not yet the default engine): per-cell
+capacity overflows under strong local compression; overflow is counted,
+but a production configuration needs either generous cap_c or a
+secondary pool. See docs/PARITY.md.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import c as c_light
+from ..parallel.halo import HaloSpec
+from .tiled2d import _roll_with_edge_exchange
+
+# stencil offset ranges
+_GOFF = (-1, 0, 1)           # integer-staggered taps
+_HOFF = (-2, -1, 0, 1)       # half-staggered taps (<=3 nonzero)
+_DOFF = (-3, -2, -1, 0, 1, 2, 3)   # deposit (post-push, pre-re-bin)
+
+
+def _m2(d):
+    ad = jnp.abs(d)
+    return jnp.where(ad <= 0.5, 0.75 - d * d,
+                     jnp.where(ad < 1.5, 0.5 * (1.5 - ad) ** 2,
+                               jnp.zeros_like(d)))
+
+
+def _deltas(x, y):
+    """Cell-local offsets: delta = x - ix with ix the cell's lane index."""
+    dtype = x.dtype
+    ix = jnp.arange(x.shape[1], dtype=dtype)[None, :, None]
+    iy = jnp.arange(x.shape[2], dtype=dtype)[None, None, :]
+    return x - ix, y - iy
+
+
+def _plane(fpad, c, ox, oy, g, nx, ny):
+    """Static slice: component c's value at cell (ix+ox, iy+oy)."""
+    return lax.slice(fpad[c], (g + ox, g + oy), (g + ox + nx, g + oy + ny))
+
+
+def gather_cell_2d(eb_pad: jnp.ndarray, x, y, g: int):
+    """eb_pad (6, nx+2g, ny+2g); x, y (cap_c, nx, ny) device-local coords.
+    Returns the 6 gathered components, each (cap_c, nx, ny)."""
+    cap, nx, ny = x.shape
+    dx, dy = _deltas(x, y)
+    gx = {o: _m2(o - dx) for o in _GOFF}
+    hx = {o: _m2(o + 0.5 - dx) for o in _HOFF}
+    gy = {o: _m2(o - dy) for o in _GOFF}
+    hy = {o: _m2(o + 0.5 - dy) for o in _HOFF}
+
+    out = [jnp.zeros_like(x) for _ in range(6)]
+    # (component, x-taps, y-taps) per the Yee staggering
+    comps = ((0, hx, gy), (1, gx, hy), (2, gx, gy),
+             (3, gx, hy), (4, hx, gy), (5, hx, hy))
+    for c, wx, wy in comps:
+        acc = jnp.zeros_like(x)
+        for ox, txo in wx.items():
+            for oy, tyo in wy.items():
+                f = _plane(eb_pad, c, ox, oy, g, nx, ny)
+                acc = acc + txo * tyo * f[None]
+        out[c] = acc
+    return tuple(out)
+
+
+def deposit_cell_2d(x, y, ux, uy, uz, inv_gamma, w, *, q: float, dx: float,
+                    dy: float, dt: float, g: int) -> jnp.ndarray:
+    """Esirkepov deposit from the cell layout: per-offset contributions are
+    slot-reduced and slice-added into the padded (4, nx+2g, ny+2g) J —
+    no scatter. Same separable closed forms as ops/deposition.py."""
+    cap, nx, ny = x.shape
+    dtype = x.dtype
+    dxl, dyl = _deltas(x, y)
+    vx_c = ux * inv_gamma * jnp.asarray(c_light * dt / dx, dtype)
+    vy_c = uy * inv_gamma * jnp.asarray(c_light * dt / dy, dtype)
+    vz = uz * inv_gamma * jnp.asarray(c_light, dtype)
+
+    s0x = {o: _m2(o - (dxl - 0.5 * vx_c)) for o in _DOFF}
+    s1x = {o: _m2(o - (dxl + 0.5 * vx_c)) for o in _DOFF}
+    s0y = {o: _m2(o - (dyl - 0.5 * vy_c)) for o in _DOFF}
+    s1y = {o: _m2(o - (dyl + 0.5 * vy_c)) for o in _DOFF}
+
+    cd = jnp.asarray(q / (dx * dy), dtype) * w
+    fdx = jnp.asarray(q / (dy * dt), dtype) * w
+    fdy = jnp.asarray(q / (dx * dt), dtype) * w
+    cvz = cd * vz
+
+    jpad = jnp.zeros((4, nx + 2 * g, ny + 2 * g), dtype)
+
+    # per-axis running prefix sums (the Esirkepov recurrences)
+    fx_run = {}
+    acc = jnp.zeros_like(x)
+    for o in _DOFF:
+        acc = acc + (s1x[o] - s0x[o])
+        fx_run[o] = -fdx * acc
+    gy_run = {}
+    acc = jnp.zeros_like(x)
+    for o in _DOFF:
+        acc = acc + (s1y[o] - s0y[o])
+        gy_run[o] = -fdy * acc
+
+    for ox in _DOFF:
+        dsx = s1x[ox] - s0x[ox]
+        ax = s0x[ox] + 0.5 * dsx
+        for oy in _DOFF:
+            dsy = s1y[oy] - s0y[oy]
+            by = s0y[oy] + 0.5 * dsy
+            jx_c = (fx_run[ox] * by).sum(0)
+            jy_c = (ax * gy_run[oy]).sum(0)
+            jz_c = (cvz * (ax * by + dsx * dsy / 12.0)).sum(0)
+            rho_c = (cd * s1x[ox] * s1y[oy]).sum(0)
+            cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
+            jpad = lax.dynamic_update_slice(
+                jpad, lax.dynamic_slice(
+                    jpad, (0, g + ox, g + oy), (4, nx, ny)) + cell,
+                (0, g + ox, g + oy))
+    return jpad
+
+
+def migrate_cell_2d(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
+                    specs: Tuple[HaloSpec, HaloSpec],
+                    nx_loc: int, ny_loc: int):
+    """Re-bin to home cells: per axis, donors roll one CELL over (device
+    edges ppermute — tile machinery with t=1), then each cell merges
+    survivors+arrivals with a 3*cap_c sublane sort. Returns
+    (data, alive, n_lost)."""
+    cap = alive.shape[0]
+    n_lost = jnp.int32(0)
+    names = sorted(data)
+    for axis, (nloc, spec, coord) in enumerate(
+            ((nx_loc, specs[0], "x"), (ny_loc, specs[1], "y"))):
+        pos = data[coord]
+        idx = jnp.arange(pos.shape[1 + axis], dtype=pos.dtype)
+        idx = idx[None, :, None] if axis == 0 else idx[None, None, :]
+        local = pos - idx
+        out_hi = alive & (local >= 0.5)
+        out_lo = alive & (local < -0.5)
+
+        def donors(mask, direction):
+            send = {k: jnp.where(mask, v, 0) for k, v in data.items()}
+            nt = pos.shape[1 + axis]
+            wrapped_idx = 0 if direction > 0 else nt - 1
+            t_idx = jnp.arange(nt)
+            t_idx = t_idx[None, :, None] if axis == 0 else \
+                t_idx[None, None, :]
+            from_wrap = (t_idx == wrapped_idx)
+            moved, valid = _roll_with_edge_exchange(
+                (send, mask), 1 + axis, direction, spec)
+            adj = jnp.asarray(-nloc if direction > 0 else nloc, pos.dtype)
+            moved = dict(moved)
+            moved[coord] = jnp.where(from_wrap, moved[coord] + adj,
+                                     moved[coord])
+            if not spec.periodic:
+                i = lax.axis_index(spec.axis_name)
+                edge = (i == 0) if direction > 0 else (i == spec.size - 1)
+                valid = valid & ~(from_wrap & edge)
+            return moved, valid
+
+        in_lo, val_lo = donors(out_hi, +1)
+        in_hi, val_hi = donors(out_lo, -1)
+        alive = alive & ~(out_lo | out_hi)
+
+        keys = jnp.concatenate([
+            jnp.where(alive, 0, 2).astype(jnp.int32),
+            jnp.where(val_lo, 1, 2).astype(jnp.int32),
+            jnp.where(val_hi, 1, 2).astype(jnp.int32)], axis=0)
+        ops = [jnp.concatenate([data[k], in_lo[k], in_hi[k]], axis=0)
+               for k in names]
+        sorted_ops = lax.sort([keys] + ops, dimension=0, num_keys=1)
+        kept = sorted_ops[0][:cap]
+        n_lost = n_lost + jnp.sum(
+            sorted_ops[0][cap:] < 2).astype(jnp.int32)
+        data = dict(zip(names, (o[:cap] for o in sorted_ops[1:])))
+        alive = kept < 2
+
+    for k in ("x", "y", "w", "ux", "uy", "uz"):
+        if k in data:
+            data[k] = jnp.where(alive, data[k], jnp.zeros_like(data[k]))
+    if "inv_gamma" in data:
+        data["inv_gamma"] = jnp.where(alive, data["inv_gamma"],
+                                      jnp.ones_like(data["inv_gamma"]))
+    return data, alive, n_lost

@@ -163,13 +163,15 @@ def test_moving_window_lwfa():
         return np.where(x > 20 * um, 0.1 * nc, 0.0)
 
     ele = Electron(density=density, ppc=2)
+    # kept light (2x2 mesh, 45 steps): the full-suite XLA:CPU runtime is
+    # close to its collective-rendezvous limits on this 1-core host, and
+    # this (heaviest) test is where the process used to die
     sim = Simulation(nx=128, ny=32, dx=l0 / 8, dy=l0 / 4,
-                     npatch_x=4, npatch_y=2, random_seed=0,
+                     npatch_x=2, npatch_y=2, random_seed=0,
                      precision="double")
     sim.add_species([ele])
     window = MovingWindow(velocity=c, start_time=3e-15)
-    n0 = None
-    sim.run(nsteps=60, callbacks=[window])
+    sim.run(nsteps=45, callbacks=[window])
     assert sim._window_offset > 0
     assert sim._xmin_pml_removed
     # new plasma injected on the right as the window advanced into the slab
