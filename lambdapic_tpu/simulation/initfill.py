@@ -220,3 +220,48 @@ def pick_capacity(counts: np.ndarray, factor: float, minimum: int = 128
     peak = int(counts.max()) if counts.size else 0
     cap = max(minimum, int(np.ceil(peak * factor)))
     return int(np.ceil(cap / 128) * 128)
+
+
+def bin_cells(arrays: Dict[str, np.ndarray], counts: np.ndarray,
+              grid: Grid, factor: float = 2.0,
+              cap_c: Optional[int] = None):
+    """Re-bin flat per-device particle arrays (mesh_shape + (cap,)) into
+    the per-CELL slot layout mesh_shape + (cap_c, nx_loc, ny_loc) for
+    ops/cell2d.py (slots on the sublane axis)."""
+    nx, ny = grid.nx_loc, grid.ny_loc
+    mshape = grid.mesh_shape
+    occ_max = 0
+    binned = {}
+    for dev in np.ndindex(mshape):
+        n = int(counts[dev])
+        x = arrays["x"][dev][:n]
+        y = arrays["y"][dev][:n]
+        ci = np.clip(np.floor(x + 0.5).astype(int), 0, nx - 1)
+        cj = np.clip(np.floor(y + 0.5).astype(int), 0, ny - 1)
+        flat = ci * ny + cj
+        order = np.argsort(flat, kind="stable")
+        occ = np.bincount(flat, minlength=nx * ny)
+        occ_max = max(occ_max, int(occ.max()) if occ.size else 0)
+        binned[dev] = (order, flat[order], occ)
+    if cap_c is None:
+        cap_c = max(8, int(np.ceil(occ_max * factor / 8) * 8))
+
+    out = {k: np.zeros(mshape + (cap_c, nx, ny), dtype=v.dtype)
+           for k, v in arrays.items()}
+    if "inv_gamma" in out:
+        out["inv_gamma"][...] = 1.0
+    alive = np.zeros(mshape + (cap_c, nx, ny), dtype=bool)
+    for dev in np.ndindex(mshape):
+        order, flat_sorted, occ = binned[dev]
+        starts = np.concatenate([[0], np.cumsum(occ)])
+        for cell in np.nonzero(occ)[0]:
+            sel = order[starts[cell]:starts[cell + 1]]
+            m = len(sel)
+            if m > cap_c:
+                raise ValueError(
+                    f"cell capacity {cap_c} exceeded ({m}) on device {dev}")
+            i, j = cell // ny, cell % ny
+            for k, v in arrays.items():
+                out[k][dev][:m, i, j] = v[dev][sel]
+            alive[dev][:m, i, j] = True
+    return out, alive, cap_c

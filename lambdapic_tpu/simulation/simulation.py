@@ -323,7 +323,14 @@ class Simulation:
                 cap = max(cap, int(np.ceil(sp.capacity / 128) * 128))
             arrays, counts = fill_species(self.grid, sp, seed, ispec, cap)
             tile_cap = 0
-            if self.tiling is not None:
+            if self.tiling == "cell":
+                from .initfill import bin_cells
+                arrays, alive_np, tile_cap = bin_cells(
+                    arrays, counts, self.grid,
+                    factor=self._config.particle_capacity_factor)
+                pst = self._tiled_state(sp, arrays, alive_np, dtype)
+                cap = tile_cap
+            elif self.tiling is not None:
                 from .initfill import bin_tiled
                 arrays, alive_np, tile_cap = bin_tiled(
                     arrays, counts, self.grid, *self.tiling,
@@ -373,6 +380,24 @@ class Simulation:
         logger.info("Initialization complete")
 
     def _validate_tiling(self):
+        if self.tiling == "cell":
+            g = self.grid
+            if g.dimension != 2:
+                raise NotImplementedError("cell binning is 2D-only for now")
+            if g.n_guard < 3:
+                raise ValueError("cell binning needs n_guard >= 3 (the "
+                                 "post-push deposit stencil spans +-3)")
+            if self.rebin_interval != 1:
+                raise NotImplementedError(
+                    "cell binning re-bins every step (rebin_interval=1)")
+            if getattr(self, "_collision_groups", None):
+                raise NotImplementedError(
+                    "cell binning does not support collisions yet")
+            for sp in self.species:
+                if sp.has_qed:
+                    raise NotImplementedError(
+                        "cell binning does not support QED yet")
+            return
         tx, ty = self.tiling
         g = self.grid
         if g.dimension != 2:
@@ -488,7 +513,8 @@ class Simulation:
             collisions = Collision(cfg, self.grid)
             logger.info(f"collisions: {len(pairs)} species pairs")
         tile_cfg = None
-        if self.tiling is not None:
+        cell_layout = self.tiling == "cell"
+        if self.tiling is not None and not cell_layout:
             from ..ops.tiled2d import TileCfg
             tx, ty = self.tiling
             tile_cfg = TileCfg(tx=tx, ty=ty, ntx=self.grid.nx_loc // tx,
@@ -505,7 +531,8 @@ class Simulation:
             collisions=collisions,
             switches=getattr(self, "_switches", None),
             tile_cfg=tile_cfg, tile_backend=tile_backend,
-            rebin_interval=self.rebin_interval)
+            rebin_interval=self.rebin_interval,
+            cell_layout=cell_layout)
         self._builder = builder
         self._rho_fns = {}
         self._multi_steps = {}
@@ -764,7 +791,18 @@ class Simulation:
         cap = max(cap, st.cap)
         arrays, counts, cap = distribute_global_particles(
             self.grid, sp, coords_si, attrs, cap=cap)
-        if self.tiling is not None:
+        if self.tiling == "cell":
+            from .initfill import bin_cells
+            arrays, alive_np, cap_c = bin_cells(
+                arrays, counts, self.grid,
+                factor=self._config.particle_capacity_factor,
+                cap_c=None if st.tile_cap == 0 else max(
+                    st.tile_cap, 8))
+            if cap_c != st.tile_cap:
+                self._species_static[ispec] = dataclasses.replace(
+                    st, cap=cap_c, tile_cap=cap_c)
+            pst = self._tiled_state(sp, arrays, alive_np, self.dtype)
+        elif self.tiling is not None:
             from .initfill import bin_tiled
             arrays, alive_np, tile_cap = bin_tiled(
                 arrays, counts, self.grid, *self.tiling,

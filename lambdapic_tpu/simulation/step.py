@@ -72,7 +72,8 @@ class StepBuilder:
                  switches: Optional[Dict[str, bool]] = None,
                  tile_cfg: Optional[TileCfg] = None,
                  tile_backend: str = "xla",
-                 rebin_interval: int = 1):
+                 rebin_interval: int = 1,
+                 cell_layout: bool = False):
         # tile-binned dense particle path (ops/tiled2d.py); None = the
         # reference-layout scatter/gather path
         self.tile_cfg = tile_cfg
@@ -85,6 +86,9 @@ class StepBuilder:
         # Simulation). The migration sorts are the dominant step cost, so
         # this divides them by R.
         self.rebin_interval = rebin_interval
+        # per-CELL slot layout (ops/cell2d.py): slots on the sublane axis,
+        # cells on the lane axes — the round-2 engine, opt-in
+        self.cell_layout = cell_layout
         # runtime operator toggles (reference EnableMixin,
         # core/utils/enable_mixin.py:4-38): maxwell, pusher,
         # current_deposition, qed, collisions, interpolation
@@ -193,9 +197,13 @@ class StepBuilder:
             _dep_tiled, _gat_tiled = deposit_tiled, gather_tiled
             _ext_win, _fold_win = extract_windows, fold_windows
 
+        cell_layout = self.cell_layout
+
         def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
             lead = alive.shape[:ndim]        # (1,) * ndim device axes
-            if tile_cfg is not None:
+            if cell_layout:
+                shape = (sp.tile_cap, nloc[0], nloc[1])
+            elif tile_cfg is not None:
                 shape = (tile_cfg.ntx, tile_cfg.nty, tile_cfg.cap_t)
             else:
                 shape = (alive.shape[-1],)
@@ -228,7 +236,10 @@ class StepBuilder:
 
             # gather (reference stage _interpolator)
             if self.switches["interpolation"]:
-                if tile_cfg is not None:
+                if cell_layout:
+                    from ..ops.cell2d import gather_cell_2d
+                    eb_p = gather_cell_2d(eb_pad, pos[0], pos[1], g)
+                elif tile_cfg is not None:
                     windows = _ext_win(eb_pad, tile_cfg)
                     eb_p = _gat_tiled(windows, pos[0], pos[1], tile_cfg)
                 elif ndim == 2:
@@ -289,7 +300,12 @@ class StepBuilder:
             # Esirkepov deposition (reference stage current_deposition)
             w = jnp.where(alive, data["w"], 0.0)
             if sp.q != 0.0 and self.switches["current_deposition"]:
-                if tile_cfg is not None:
+                if cell_layout:
+                    from ..ops.cell2d import deposit_cell_2d
+                    jpad = deposit_cell_2d(
+                        pos[0], pos[1], ux, uy, uz, ig, w, q=sp.q,
+                        dx=grid.dx, dy=grid.dy, dt=dt, g=g)
+                elif tile_cfg is not None:
                     win = _dep_tiled(pos[0], pos[1], ux, uy, uz, ig, w,
                                      tile_cfg, q=sp.q, dx=grid.dx,
                                      dy=grid.dy, dt=dt)
@@ -311,7 +327,11 @@ class StepBuilder:
                 jpad = jnp.zeros((4,) + pshape, dtype=pos[0].dtype)
 
             # migration (reference patches.sync_particles + MPI variant)
-            if tile_cfg is not None and not migrate:
+            if cell_layout:
+                from ..ops.cell2d import migrate_cell_2d
+                data, alive, lost = migrate_cell_2d(data, alive, specs,
+                                                    nloc[0], nloc[1])
+            elif tile_cfg is not None and not migrate:
                 lost = jnp.int32(0)
             elif tile_cfg is not None:
                 data, alive, lost = migrate_tiled(

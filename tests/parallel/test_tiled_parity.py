@@ -102,3 +102,22 @@ def test_rebin_interval_matches_every_step(rebin, chunk):
                                        np.sort(p_ref[i][k]),
                                        rtol=1e-9, atol=1e-12,
                                        err_msg=f"species {i} {k}")
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_cell_engine_matches_untiled(periodic):
+    """The cell-binned engine (ops/cell2d.py, opt-in tiling='cell') must
+    reproduce the scatter path end-to-end through the sharded step."""
+    f_ref, p_ref = run_case(None, periodic)
+    f_cel, p_cel = run_case("cell", periodic)
+    for name in f_ref:
+        scale = np.abs(f_ref[name]).max() + 1e-30
+        np.testing.assert_allclose(f_cel[name], f_ref[name],
+                                   atol=1e-9 * scale, err_msg=name)
+    for i in range(2):
+        for k in ("x", "y", "ux", "uy", "uz", "w"):
+            a = np.sort(p_ref[i][k])
+            b = np.sort(p_cel[i][k])
+            assert a.shape == b.shape, (i, k)
+            np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"species {i} {k}")
