@@ -28,9 +28,13 @@ def build(config, args):
 
     um = 1e-6
     nc = 1.742e27
-    tiling = None if args.tiling == "none" else tuple(
-        int(v) for v in args.tiling.split(","))
-    rebin = args.rebin if tiling is not None else 1
+    if args.tiling == "none":
+        tiling = None
+    elif args.tiling == "cell":
+        tiling = "cell"
+    else:
+        tiling = tuple(int(v) for v in args.tiling.split(","))
+    rebin = args.rebin if (tiling is not None and tiling != "cell") else 1
     # tile halo must cover R steps of CFL drift (see Simulation validation)
     import math
     n_guard = 3 if rebin <= 1 else 2 + math.ceil(rebin * 0.95 / 2**0.5)

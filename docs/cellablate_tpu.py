@@ -1,0 +1,37 @@
+"""Step-cost ablation for the cell engine on TPU: times the bench
+laser-target config with operator groups toggled off to attribute
+per-step cost. Usage: python docs/cellablate_tpu.py [steps]"""
+import sys, time, types, os
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("LAMBDAPIC_LOG_LEVEL", "WARNING")
+import numpy as np
+import jax
+
+import bench as B
+
+
+def run_case(label, steps=15, **switches):
+    args = types.SimpleNamespace(nx=768, ny=768, ppc=8, tiling="cell",
+                                 rebin=1, steps=steps, warmup=2, chunk=1)
+    sim, cbs = B.build("laser-target", args)
+    for k, v in switches.items():
+        sim.set_enabled(k, v)
+    sim.run(nsteps=2, callbacks=cbs)
+    jax.block_until_ready(sim.state)
+    _ = np.asarray(sim.state.fields.ey).ravel()[0]
+    t0 = time.perf_counter()
+    sim.run(nsteps=steps, callbacks=cbs)
+    jax.block_until_ready(sim.state)
+    _ = np.asarray(sim.state.fields.ey).ravel()[0]
+    el = time.perf_counter() - t0
+    print(f"{label}: {el/steps*1e3:.1f} ms/step", flush=True)
+    return el / steps
+
+
+full = run_case("full")
+run_case("no maxwell", maxwell=False)
+run_case("no deposit", current_deposition=False)
+run_case("no gather", interpolation=False)
+run_case("no push", pusher=False)
+run_case("fields only", interpolation=False, pusher=False,
+         current_deposition=False)

@@ -1,3 +1,11 @@
+"""TPU throughput probe for the cell-binned VPU engine primitives.
+
+Times the two risky primitives of the round-2 cell-binned design
+(docs/PARITY.md): (a) sublane sorts for migration, (b) the static
+3x3-offset gather/deposit loops. All big arrays are passed as jit
+arguments (NOT closure constants) — the axon relay rejects compile
+requests with embedded multi-MB constants (HTTP 413).
+"""
 import time, sys
 import numpy as np
 import jax, jax.numpy as jnp
@@ -13,62 +21,57 @@ x = jnp.asarray(rng.uniform(-0.5, 0.5, (CAP, N)), jnp.float32)  # cell-local
 y = jnp.asarray(rng.uniform(-0.5, 0.5, (CAP, N)), jnp.float32)
 w = jnp.asarray(rng.uniform(0, 1, (CAP, N)), jnp.float32)
 alive = jnp.asarray(rng.uniform(0, 1, (CAP, N)) < 0.5)
-pay = [jnp.asarray(rng.standard_normal((CAP, N)), jnp.float32) for _ in range(8)]
+pay = [jnp.asarray(rng.standard_normal((CAP, N)), jnp.float32) for _ in range(6)]
 F = jnp.asarray(rng.standard_normal((6, NX, NY)), jnp.float32)
+ARGS = dict(x=x, y=y, w=w, alive=alive, pay=pay, F=F)
 npart = CAP * N
 
-def timed(name, fn, *args, n=5):
-    f = jax.jit(fn)
-    r = f(*args); _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
-    best = 1e9
-    for _ in range(n):
-        t0 = time.perf_counter()
-        r = f(*args)
-        _ = np.asarray(jax.tree.leaves(r)[0].ravel()[0] if hasattr(jax.tree.leaves(r)[0], 'ravel') else jax.tree.leaves(r)[0])
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name}: {best*1e3:.2f} ms ({npart/best/1e6:.0f} Mslot/s)", flush=True)
-
 def chain(name, body, n_iter=8):
-    def loop(x0):
+    """Time body(args)->(CAP,N)-reducible scalar chained n_iter times."""
+    def loop(a):
         def it(i, xx):
-            s = body(xx)
+            a2 = dict(a); a2["x"] = xx
+            s = body(a2)
             return xx + s * 1e-30
-        return lax.fori_loop(0, n_iter, it, x0)[0, 0]
+        return lax.fori_loop(0, n_iter, it, a["x"])[0, 0]
     f = jax.jit(loop)
-    r = f(x); _ = np.asarray(r)
+    r = f(ARGS); _ = np.asarray(r)
     best = 1e9
     for _ in range(4):
         t0 = time.perf_counter()
-        _ = np.asarray(f(x))
+        _ = np.asarray(f(ARGS))
         best = min(best, time.perf_counter() - t0)
     print(f"{name}: {best/n_iter*1e3:.2f} ms/iter ({npart/(best/n_iter)/1e6:.0f} Mslot/s)", flush=True)
 
 print("slots", npart, "backend", jax.default_backend(), flush=True)
 
 # (a) sublane sort: 3cap-wide merge key sort along axis 0 with 9 payloads
-def merge_sort(xx):
-    key = jnp.where(alive, 0, 2).astype(jnp.int32)
+def merge_sort(a):
+    xx, yy, ww, al = a["x"], a["y"], a["w"], a["alive"]
+    key = jnp.where(al, 0, 2).astype(jnp.int32)
     key3 = jnp.concatenate([key, key + 1, key + 1], axis=0)   # (3CAP, N)
-    ops = [jnp.concatenate([p, p, p], axis=0) for p in [xx, y, w] + pay[:6]]
+    ops = [jnp.concatenate([p, p, p], axis=0) for p in [xx, yy, ww] + a["pay"]]
     out = lax.sort([key3] + ops, dimension=0, num_keys=1)
-    return out[1][:CAP].sum(0)
+    return out[1][:CAP]
 chain("sublane 3cap-merge sort (9 payloads)", merge_sort)
 
-# (a2) single-cap 5-way key sort (the slab scheme)
-def slab_sort(xx):
-    key = jnp.where(alive, 2, 1).astype(jnp.int32)
-    ops = [p for p in [xx, y, w] + pay[:6]]
+# (a2) single-cap key sort (the slab scheme)
+def slab_sort(a):
+    xx, yy, ww, al = a["x"], a["y"], a["w"], a["alive"]
+    key = jnp.where(al, 2, 1).astype(jnp.int32)
+    ops = [xx, yy, ww] + a["pay"]
     out = lax.sort([key] + ops, dimension=0, num_keys=1)
-    return out[1].sum(0)
+    return out[1]
 chain("sublane cap-wide sort (9 payloads)", slab_sort)
 
-# (b) 25-offset gather o-loop: 6 components, 4 tap combos
-def gather_oloop(xx):
+# (b) 9-offset gather o-loop: 6 components, 4 tap combos
+def gather_oloop(a):
+    xx, yy, F = a["x"], a["y"], a["F"]
     Fp = jnp.pad(F, ((0, 0), (2, 3), (2, 3)))
     gx = [0.75 - xx * xx, 0.5 * (0.5 + xx) ** 2, 0.5 * (0.5 - xx) ** 2]
     hx = [0.75 - (xx - 0.5) ** 2, 0.5 * (xx) ** 2, 0.5 * (1.0 - xx) ** 2]
-    gy = [0.75 - y * y, 0.5 * (0.5 + y) ** 2, 0.5 * (0.5 - y) ** 2]
-    hy = [0.75 - (y - 0.5) ** 2, 0.5 * (y) ** 2, 0.5 * (1.0 - y) ** 2]
+    gy = [0.75 - yy * yy, 0.5 * (0.5 + yy) ** 2, 0.5 * (0.5 - yy) ** 2]
+    hy = [0.75 - (yy - 0.5) ** 2, 0.5 * (yy) ** 2, 0.5 * (1.0 - yy) ** 2]
     acc = [jnp.zeros_like(xx) for _ in range(6)]
     for ox in range(3):
         for oy in range(3):
@@ -84,21 +87,22 @@ def gather_oloop(xx):
             acc[3] += wgh * fg[3][None, :]
             acc[4] += whg * fg[4][None, :]
             acc[5] += whh * fg[5][None, :]
-    return sum(a.sum(0) for a in acc).reshape(NX, NY).sum(1)[:CAP] * 0 + acc[0][:, 0]
+    return acc[0] + acc[1] + acc[2] + acc[3] + acc[4] + acc[5]
 chain("gather o-loop 3x3 (6 comps)", gather_oloop)
 
 # (c) deposit o-loop: per-offset weights, sublane-reduce, shift-add
-def deposit_oloop(xx):
+def deposit_oloop(a):
+    xx, yy, ww = a["x"], a["y"], a["w"]
     s0x = [0.75 - xx * xx, 0.5 * (0.5 + xx) ** 2, 0.5 * (0.5 - xx) ** 2]
-    s0y = [0.75 - y * y, 0.5 * (0.5 + y) ** 2, 0.5 * (0.5 - y) ** 2]
+    s0y = [0.75 - yy * yy, 0.5 * (0.5 + yy) ** 2, 0.5 * (0.5 - yy) ** 2]
     out = jnp.zeros((4, NX + 5, NY + 5), jnp.float32)
     for ox in range(3):
         for oy in range(3):
-            vals = s0x[ox] * s0y[oy] * w
+            vals = s0x[ox] * s0y[oy] * ww
             cell = vals.sum(0).reshape(NX, NY)     # sublane reduce
             for ch in range(4):
                 out = lax.dynamic_update_slice(
                     out, lax.dynamic_slice(out, (ch, ox, oy), (1, NX, NY))
                     + cell[None], (ch, ox, oy))
-    return out[0, :CAP, 0]
+    return out[:1, :CAP, :N // NX * 0 + NY].reshape(CAP, -1)[:, :N // CAP * 0 + 1] * 0 + xx * 1e-30 + out[0, 0, 0]
 chain("deposit o-loop 3x3 (4 ch)", deposit_oloop)

@@ -24,9 +24,12 @@ ppermute, reusing the tiled machinery) plus a slot-axis merge sort over
 Numerical contract identical to ops/interpolation.py::gather_eb_2d and
 ops/deposition.py::deposit_2d (reference interpolation/cpu2d.c:7-154,
 current_deposit.h:7-203). Offsets: integer taps live on {-1,0,1}, half
-taps on {-2,...,1} (<=3 nonzero), and the post-push deposit spans
-{-3,...,3} per axis (|cell drift| < 1 + CFL/2 before re-binning), which
-is exactly covered by n_guard = 3.
+taps on {-2,...,1} (<=3 nonzero). Deposit REQUIRES freshly re-binned
+particles (migrate_cell_2d runs before deposit in the step): with the
+post-push delta in [-0.5, 0.5) the deposited segment endpoints
+delta -+ v/2 stay within +-(0.5 + CFL/2) < 1.5 - 0.5, so both S0 and S1
+taps live on {-2,...,2} — a 5x5 offset loop (vs 7x7 for the pre-rebin
+formulation), covered by n_guard >= 2.
 
 Known limitation (why this is not yet the default engine): per-cell
 capacity overflows under strong local compression; overflow is counted,
@@ -48,7 +51,7 @@ from .tiled2d import _roll_with_edge_exchange
 # stencil offset ranges
 _GOFF = (-1, 0, 1)           # integer-staggered taps
 _HOFF = (-2, -1, 0, 1)       # half-staggered taps (<=3 nonzero)
-_DOFF = (-3, -2, -1, 0, 1, 2, 3)   # deposit (post-push, pre-re-bin)
+_DOFF = (-2, -1, 0, 1, 2)    # deposit (post-re-bin; see module docstring)
 
 
 def _m2(d):
@@ -99,7 +102,11 @@ def deposit_cell_2d(x, y, ux, uy, uz, inv_gamma, w, *, q: float, dx: float,
                     dy: float, dt: float, g: int) -> jnp.ndarray:
     """Esirkepov deposit from the cell layout: per-offset contributions are
     slot-reduced and slice-added into the padded (4, nx+2g, ny+2g) J —
-    no scatter. Same separable closed forms as ops/deposition.py."""
+    no scatter. Same separable closed forms as ops/deposition.py.
+
+    Requires home-cell binning (run migrate_cell_2d first): every
+    particle's delta must lie in [-0.5, 0.5) so the 5-tap _DOFF stencil
+    covers both segment endpoints."""
     cap, nx, ny = x.shape
     dtype = x.dtype
     dxl, dyl = _deltas(x, y)
@@ -151,14 +158,25 @@ def deposit_cell_2d(x, y, ux, uy, uz, inv_gamma, w, *, q: float, dx: float,
 
 def migrate_cell_2d(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
                     specs: Tuple[HaloSpec, HaloSpec],
-                    nx_loc: int, ny_loc: int):
+                    nx_loc: int, ny_loc: int, *,
+                    recompute_ig: bool = False):
     """Re-bin to home cells: per axis, donors roll one CELL over (device
     edges ppermute — tile machinery with t=1), then each cell merges
     survivors+arrivals with a 3*cap_c sublane sort. Returns
     (data, alive, n_lost)."""
     cap = alive.shape[0]
     n_lost = jnp.int32(0)
-    names = sorted(data)
+    # gathered *_part fields (and chi) are rewritten from scratch before
+    # any post-migration read — dead weight in the merge sorts (same
+    # reasoning as ops/tiled2d.py::_TRANSIENT)
+    transient = {"ex_part", "ey_part", "ez_part",
+                 "bx_part", "by_part", "bz_part", "chi"}
+    if recompute_ig:
+        # non-photon species: 1/sqrt(1+u^2) is cheaper to recompute than
+        # to carry through two sorting networks (ops/tiled2d.py does the
+        # same); the expression below matches boris_push bitwise
+        transient = transient | {"inv_gamma"}
+    names = sorted(k for k in data if k not in transient)
     for axis, (nloc, spec, coord) in enumerate(
             ((nx_loc, specs[0], "x"), (ny_loc, specs[1], "y"))):
         pos = data[coord]
@@ -169,7 +187,7 @@ def migrate_cell_2d(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
         out_lo = alive & (local < -0.5)
 
         def donors(mask, direction):
-            send = {k: jnp.where(mask, v, 0) for k, v in data.items()}
+            send = {k: jnp.where(mask, data[k], 0) for k in names}
             nt = pos.shape[1 + axis]
             wrapped_idx = 0 if direction > 0 else nt - 1
             t_idx = jnp.arange(nt)
@@ -202,13 +220,17 @@ def migrate_cell_2d(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
         kept = sorted_ops[0][:cap]
         n_lost = n_lost + jnp.sum(
             sorted_ops[0][cap:] < 2).astype(jnp.int32)
-        data = dict(zip(names, (o[:cap] for o in sorted_ops[1:])))
+        data = {**data, **dict(zip(names, (o[:cap]
+                                           for o in sorted_ops[1:])))}
         alive = kept < 2
 
     for k in ("x", "y", "w", "ux", "uy", "uz"):
         if k in data:
             data[k] = jnp.where(alive, data[k], jnp.zeros_like(data[k]))
-    if "inv_gamma" in data:
+    if recompute_ig:
+        data["inv_gamma"] = 1.0 / jnp.sqrt(
+            1.0 + data["ux"]**2 + data["uy"]**2 + data["uz"]**2)
+    elif "inv_gamma" in data:
         data["inv_gamma"] = jnp.where(alive, data["inv_gamma"],
                                       jnp.ones_like(data["inv_gamma"]))
     return data, alive, n_lost

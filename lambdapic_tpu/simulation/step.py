@@ -297,6 +297,20 @@ class StepBuilder:
             if ndim == 3:
                 data["z"] = pos[2]
 
+            # cell layout: re-bin BEFORE deposit — the post-rebin delta in
+            # [-0.5, 0.5) narrows the deposit stencil to 5x5 offsets
+            # (ops/cell2d.py module docstring). J is unchanged by the
+            # reorder: positions are global, only the binning moves.
+            cell_lost = None
+            if cell_layout:
+                from ..ops.cell2d import migrate_cell_2d
+                data, alive, cell_lost = migrate_cell_2d(
+                    data, alive, specs, nloc[0], nloc[1],
+                    recompute_ig=(sp.pusher != "photon"))
+                pos = (data["x"], data["y"])
+                ux, uy, uz = data["ux"], data["uy"], data["uz"]
+                ig = data["inv_gamma"]
+
             # Esirkepov deposition (reference stage current_deposition)
             w = jnp.where(alive, data["w"], 0.0)
             if sp.q != 0.0 and self.switches["current_deposition"]:
@@ -328,9 +342,7 @@ class StepBuilder:
 
             # migration (reference patches.sync_particles + MPI variant)
             if cell_layout:
-                from ..ops.cell2d import migrate_cell_2d
-                data, alive, lost = migrate_cell_2d(data, alive, specs,
-                                                    nloc[0], nloc[1])
+                lost = cell_lost          # re-binned above, before deposit
             elif tile_cfg is not None and not migrate:
                 lost = jnp.int32(0)
             elif tile_cfg is not None:
