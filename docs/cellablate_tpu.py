@@ -28,10 +28,14 @@ def run_case(label, steps=15, **switches):
     return el / steps
 
 
-full = run_case("full")
-run_case("no maxwell", maxwell=False)
-run_case("no deposit", current_deposition=False)
-run_case("no gather", interpolation=False)
-run_case("no push", pusher=False)
-run_case("fields only", interpolation=False, pusher=False,
-         current_deposition=False)
+import sys
+cases = sys.argv[1:] or ["full", "nomig", "bare"]
+if "full" in cases:
+    run_case("full")
+if "nomig" in cases:
+    run_case("no migration", migration=False)
+if "bare" in cases:
+    run_case("bare (fields+glue only)", migration=False, pusher=False,
+             interpolation=False, current_deposition=False)
+if "nodep" in cases:
+    run_case("no deposit", current_deposition=False)

@@ -134,6 +134,11 @@ class Simulation:
     # them by R; requires n_guard wide enough to cover R steps of CFL
     # drift (validated at initialize)
     rebin_interval: int = 1
+    # cell engine (tiling="cell") re-binning scheme: "fast" = single
+    # cap-wide sort + overwrite-merge (rare collision losses, counted in
+    # the overflow counters); "exact" = 3*cap concat-merge, lossless while
+    # a cell's total stays within capacity (ops/cell2d.py migrate_cells)
+    cell_migration: str = "fast"
     # TPU extra: fuse up to N steps into one lax.scan dispatch when no host
     # callback is due (amortizes dispatch latency; costs one extra compile
     # per chunk size). 1 = off.
@@ -240,7 +245,7 @@ class Simulation:
         'interpolation', 'current_deposition', 'qed', 'collisions'}.
         Takes effect on the next run() (recompiles the step)."""
         valid = {"maxwell", "pusher", "interpolation", "current_deposition",
-                 "qed", "collisions"}
+                 "qed", "collisions", "migration"}
         if component not in valid:
             raise ValueError(f"component must be one of {sorted(valid)}")
         if not hasattr(self, "_switches"):
@@ -532,7 +537,8 @@ class Simulation:
             switches=getattr(self, "_switches", None),
             tile_cfg=tile_cfg, tile_backend=tile_backend,
             rebin_interval=self.rebin_interval,
-            cell_layout=cell_layout)
+            cell_layout=cell_layout,
+            cell_migration=self.cell_migration)
         self._builder = builder
         self._rho_fns = {}
         self._multi_steps = {}

@@ -73,7 +73,8 @@ class StepBuilder:
                  tile_cfg: Optional[TileCfg] = None,
                  tile_backend: str = "xla",
                  rebin_interval: int = 1,
-                 cell_layout: bool = False):
+                 cell_layout: bool = False,
+                 cell_migration: str = "fast"):
         # tile-binned dense particle path (ops/tiled2d.py); None = the
         # reference-layout scatter/gather path
         self.tile_cfg = tile_cfg
@@ -89,12 +90,15 @@ class StepBuilder:
         # per-CELL slot layout (ops/cell2d.py): slots on the sublane axis,
         # cells on the lane axes — the round-2 engine, opt-in
         self.cell_layout = cell_layout
+        # "fast" overwrite-merge vs "exact" 3*cap concat-merge re-binning
+        self.cell_migration = cell_migration
         # runtime operator toggles (reference EnableMixin,
         # core/utils/enable_mixin.py:4-38): maxwell, pusher,
         # current_deposition, qed, collisions, interpolation
         self.switches = dict(maxwell=True, pusher=True,
                              current_deposition=True, qed=True,
-                             collisions=True, interpolation=True)
+                             collisions=True, interpolation=True,
+                             migration=True)
         if switches:
             self.switches.update(switches)
         self.grid = grid
@@ -301,12 +305,13 @@ class StepBuilder:
             # [-0.5, 0.5) narrows the deposit stencil to 5x5 offsets
             # (ops/cell2d.py module docstring). J is unchanged by the
             # reorder: positions are global, only the binning moves.
-            cell_lost = None
-            if cell_layout:
+            cell_lost = jnp.int32(0)
+            if cell_layout and self.switches["migration"]:
                 from ..ops.cell2d import migrate_cell_2d
                 data, alive, cell_lost = migrate_cell_2d(
                     data, alive, specs, nloc[0], nloc[1],
-                    recompute_ig=(sp.pusher != "photon"))
+                    recompute_ig=(sp.pusher != "photon"),
+                    exact=(self.cell_migration == "exact"))
                 pos = (data["x"], data["y"])
                 ux, uy, uz = data["ux"], data["uy"], data["uz"]
                 ig = data["inv_gamma"]
@@ -341,8 +346,8 @@ class StepBuilder:
                 jpad = jnp.zeros((4,) + pshape, dtype=pos[0].dtype)
 
             # migration (reference patches.sync_particles + MPI variant)
-            if cell_layout:
-                lost = cell_lost          # re-binned above, before deposit
+            if cell_layout or not self.switches["migration"]:
+                lost = cell_lost          # cell path re-bins above
             elif tile_cfg is not None and not migrate:
                 lost = jnp.int32(0)
             elif tile_cfg is not None:

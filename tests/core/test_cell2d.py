@@ -100,7 +100,8 @@ def test_deposit_cell_matches_scatter():
                                atol=scale * 1e-12)
 
 
-def test_migrate_cell_rebins():
+@pytest.mark.parametrize("exact", [True, False])
+def test_migrate_cell_rebins(exact):
     from jax.sharding import Mesh, PartitionSpec as P
     try:
         from jax import shard_map
@@ -130,7 +131,7 @@ def test_migrate_cell_rebins():
     def local(d, a):
         d = {k: v.reshape(v.shape[2:]) for k, v in d.items()}
         a = a.reshape(a.shape[2:])
-        d, a, lost = migrate_cell_2d(d, a, specs, NX, NY)
+        d, a, lost = migrate_cell_2d(d, a, specs, NX, NY, exact=exact)
         return ({k: v[None, None] for k, v in d.items()}, a[None, None],
                 lost.reshape(1, 1))
 
@@ -140,8 +141,13 @@ def test_migrate_cell_rebins():
                    check_vma=False)
     d2, a2, lost = fn(jd, ja)
     a2 = np.asarray(a2)[0, 0]
-    assert int(np.asarray(lost).ravel()[0]) == 0
-    assert a2.sum() == n
+    nlost = int(np.asarray(lost).ravel()[0])
+    if exact:
+        assert nlost == 0          # lossless while cells stay within cap
+    else:
+        # fast overwrite-merge: rare positional collisions are counted
+        assert nlost <= max(2, n // 50)
+    assert a2.sum() == n - nlost
     x2 = np.asarray(d2["x"])[0, 0]
     y2 = np.asarray(d2["y"])[0, 0]
     ii = np.broadcast_to(np.arange(NX)[None, :, None], x2.shape)
@@ -153,6 +159,13 @@ def test_migrate_cell_rebins():
 
     def wrap(v, L):
         return (v + 0.5) % L - 0.5
-    np.testing.assert_allclose(
-        np.sort(wrap(x2[a2], NX)),
-        np.sort(wrap(np.asarray(binned["x"])[alive], NX)), atol=1e-12)
+    got = np.sort(wrap(x2[a2], NX))
+    want = np.sort(wrap(np.asarray(binned["x"])[alive], NX))
+    if nlost == 0:
+        np.testing.assert_allclose(got, want, atol=1e-12)
+    else:
+        # survivors must be a sub-multiset of the originals
+        from collections import Counter
+        cg = Counter(np.round(got, 9))
+        cw = Counter(np.round(want, 9))
+        assert all(cw[k] >= v for k, v in cg.items())
