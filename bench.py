@@ -104,7 +104,8 @@ def build(config, args):
         pro = Proton(density=density, ppc=max(args.ppc // 4, 1))
         sim = Simulation3D(nx=n3, ny=n3, nz=n3, dx=dx, dy=dx, dz=dx,
                            npatch_x=1, npatch_y=1, npatch_z=1,
-                           random_seed=0, precision="single")
+                           random_seed=0, precision="single",
+                           tiling=("cell" if tiling == "cell" else None))
         sim.add_species([ele, pro])
         cbs = [SimpleLaser3D(a0=10, w0=3 * um, ctau=5 * um)]
     else:

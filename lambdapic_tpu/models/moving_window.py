@@ -208,11 +208,53 @@ class MovingWindow(Callback):
                 out_n[dev][t] = len(sel)
         return {"vals": out, "n": out_n}
 
+    def _rebin_injection_cells(self, sim, inj, ispec: int):
+        """Cell layout: bin the flat right-edge injection buffers by
+        cell into slot arrays mesh + (cap_c, ny_loc[, nz_loc]); the
+        device-side shift overwrites the incoming (dead) x column."""
+        grid = sim.grid
+        cap = sim._species_static[ispec].cap
+        mshape = grid.mesh_shape
+        cells = (grid.ny_loc,) if grid.dimension == 2 else (
+            grid.ny_loc, grid.nz_loc)
+        ncells = int(np.prod(cells))
+        vals, n = inj["vals"], inj["n"]
+        out = {a: np.zeros(mshape + (cap,) + cells, v.dtype)
+               for a, v in vals.items()}
+        if "inv_gamma" in out:
+            out["inv_gamma"][...] = 1.0
+        alive = np.zeros(mshape + (cap,) + cells, bool)
+        for dev in np.ndindex(mshape):
+            tot = int(n[dev])
+            if tot == 0:
+                continue
+            cj = np.clip(np.floor(vals["y"][dev][:tot] + 0.5).astype(int),
+                         0, grid.ny_loc - 1)
+            if grid.dimension == 3:
+                ck = np.clip(np.floor(vals["z"][dev][:tot] + 0.5).astype(int),
+                             0, grid.nz_loc - 1)
+                flat = cj * grid.nz_loc + ck
+            else:
+                flat = cj
+            order = np.argsort(flat, kind="stable")
+            fs = flat[order]
+            slot = np.arange(tot) - np.searchsorted(fs, fs, side="left")
+            keep = slot < cap
+            if not keep.all():
+                logger.warning(
+                    f"moving window: per-cell injection overflow for "
+                    f"species {sim.species[ispec].name}; truncating")
+            for a, v in vals.items():
+                out[a][dev].reshape(cap, ncells)[slot[keep], fs[keep]] = \
+                    v[dev][:tot][order][keep]
+            alive[dev].reshape(cap, ncells)[slot[keep], fs[keep]] = True
+        return {"vals": out, "n": alive}
+
     def _shift_once(self, sim) -> None:
         if self._shift_fn is None:
             self._shift_fn = sim._builder.make_window_shift()
             self._k_inject = self._estimate_k(sim)
-            if sim.tiling is not None:
+            if sim.tiling is not None and sim.tiling != "cell":
                 ty = sim.tiling[1]
                 self._kb_inject = [
                     max(128, int(np.ceil(k * ty / sim.grid.ny_loc / 128)
@@ -221,7 +263,9 @@ class MovingWindow(Callback):
         injections = []
         for ispec in range(len(sim.species)):
             inj = self._column_particles(sim, ispec, self._k_inject[ispec])
-            if sim.tiling is not None:
+            if sim.tiling == "cell":
+                inj = self._rebin_injection_cells(sim, inj, ispec)
+            elif sim.tiling is not None:
                 inj = self._rebin_injection(sim, inj,
                                             self._kb_inject[ispec])
             injections.append(inj)

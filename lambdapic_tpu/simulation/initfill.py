@@ -226,42 +226,41 @@ def bin_cells(arrays: Dict[str, np.ndarray], counts: np.ndarray,
               grid: Grid, factor: float = 2.0,
               cap_c: Optional[int] = None):
     """Re-bin flat per-device particle arrays (mesh_shape + (cap,)) into
-    the per-CELL slot layout mesh_shape + (cap_c, nx_loc, ny_loc) for
-    ops/cell2d.py (slots on the sublane axis)."""
-    nx, ny = grid.nx_loc, grid.ny_loc
+    the per-CELL slot layout mesh_shape + (cap_c, nx_loc, ny_loc[, nz_loc])
+    for ops/cell2d.py / ops/cell3d.py (slots on the leading axis)."""
+    nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:grid.dimension]
+    coords = ("x", "y", "z")[:grid.dimension]
+    ncells = int(np.prod(nloc))
     mshape = grid.mesh_shape
     occ_max = 0
     binned = {}
     for dev in np.ndindex(mshape):
         n = int(counts[dev])
-        x = arrays["x"][dev][:n]
-        y = arrays["y"][dev][:n]
-        ci = np.clip(np.floor(x + 0.5).astype(int), 0, nx - 1)
-        cj = np.clip(np.floor(y + 0.5).astype(int), 0, ny - 1)
-        flat = ci * ny + cj
+        idx = [np.clip(np.floor(arrays[c][dev][:n] + 0.5).astype(np.int64),
+                       0, nl - 1) for c, nl in zip(coords, nloc)]
+        flat = idx[0]
+        for ax in range(1, len(nloc)):
+            flat = flat * nloc[ax] + idx[ax]
         order = np.argsort(flat, kind="stable")
-        occ = np.bincount(flat, minlength=nx * ny)
-        occ_max = max(occ_max, int(occ.max()) if occ.size else 0)
-        binned[dev] = (order, flat[order], occ)
+        fs = flat[order]
+        # slot index = position within the particle's cell run
+        slot = np.arange(n) - np.searchsorted(fs, fs, side="left")
+        occ_max = max(occ_max, int(slot.max()) + 1 if n else 0)
+        binned[dev] = (order, fs, slot)
     if cap_c is None:
         cap_c = max(8, int(np.ceil(occ_max * factor / 8) * 8))
+    elif occ_max > cap_c:
+        raise ValueError(f"cell capacity {cap_c} exceeded ({occ_max})")
 
-    out = {k: np.zeros(mshape + (cap_c, nx, ny), dtype=v.dtype)
+    out = {k: np.zeros(mshape + (cap_c,) + nloc, dtype=v.dtype)
            for k, v in arrays.items()}
     if "inv_gamma" in out:
         out["inv_gamma"][...] = 1.0
-    alive = np.zeros(mshape + (cap_c, nx, ny), dtype=bool)
+    alive = np.zeros(mshape + (cap_c,) + nloc, dtype=bool)
     for dev in np.ndindex(mshape):
-        order, flat_sorted, occ = binned[dev]
-        starts = np.concatenate([[0], np.cumsum(occ)])
-        for cell in np.nonzero(occ)[0]:
-            sel = order[starts[cell]:starts[cell + 1]]
-            m = len(sel)
-            if m > cap_c:
-                raise ValueError(
-                    f"cell capacity {cap_c} exceeded ({m}) on device {dev}")
-            i, j = cell // ny, cell % ny
-            for k, v in arrays.items():
-                out[k][dev][:m, i, j] = v[dev][sel]
-            alive[dev][:m, i, j] = True
+        order, fs, slot = binned[dev]
+        n = len(order)
+        for k, v in arrays.items():
+            out[k][dev].reshape(cap_c, ncells)[slot, fs] = v[dev][:n][order]
+        alive[dev].reshape(cap_c, ncells)[slot, fs] = True
     return out, alive, cap_c

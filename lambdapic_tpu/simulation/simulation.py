@@ -387,11 +387,9 @@ class Simulation:
     def _validate_tiling(self):
         if self.tiling == "cell":
             g = self.grid
-            if g.dimension != 2:
-                raise NotImplementedError("cell binning is 2D-only for now")
-            if g.n_guard < 3:
-                raise ValueError("cell binning needs n_guard >= 3 (the "
-                                 "post-push deposit stencil spans +-3)")
+            if g.n_guard < 2:
+                raise ValueError("cell binning needs n_guard >= 2 (the "
+                                 "post-rebin deposit stencil spans +-2)")
             if self.rebin_interval != 1:
                 raise NotImplementedError(
                     "cell binning re-bins every step (rebin_interval=1)")

@@ -28,6 +28,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from ..core.grid import Grid
@@ -38,7 +39,8 @@ from ..ops.interpolation import gather_eb_2d, gather_eb_3d
 from ..ops.maxwell import update_bfield, update_efield
 from ..ops.pusher import (boris_push, photon_push, push_position_2d,
                           push_position_3d)
-from ..ops.tiled2d import (TileCfg, deposit_tiled, extract_windows,
+from ..ops.tiled2d import (TileCfg, _roll_with_edge_exchange,
+                           deposit_tiled, extract_windows,
                            fold_windows, gather_tiled, migrate_tiled)
 from ..parallel.halo import HaloSpec, halo_pad, halo_reduce
 from ..parallel.migrate import migrate_2d, migrate_3d
@@ -206,7 +208,7 @@ class StepBuilder:
         def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
             lead = alive.shape[:ndim]        # (1,) * ndim device axes
             if cell_layout:
-                shape = (sp.tile_cap, nloc[0], nloc[1])
+                shape = (sp.tile_cap,) + tuple(nloc)
             elif tile_cfg is not None:
                 shape = (tile_cfg.ntx, tile_cfg.nty, tile_cfg.cap_t)
             else:
@@ -240,9 +242,12 @@ class StepBuilder:
 
             # gather (reference stage _interpolator)
             if self.switches["interpolation"]:
-                if cell_layout:
+                if cell_layout and ndim == 2:
                     from ..ops.cell2d import gather_cell_2d
                     eb_p = gather_cell_2d(eb_pad, pos[0], pos[1], g)
+                elif cell_layout:
+                    from ..ops.cell3d import gather_cell_3d
+                    eb_p = gather_cell_3d(eb_pad, pos[0], pos[1], pos[2], g)
                 elif tile_cfg is not None:
                     windows = _ext_win(eb_pad, tile_cfg)
                     eb_p = _gat_tiled(windows, pos[0], pos[1], tile_cfg)
@@ -307,23 +312,36 @@ class StepBuilder:
             # reorder: positions are global, only the binning moves.
             cell_lost = jnp.int32(0)
             if cell_layout and self.switches["migration"]:
-                from ..ops.cell2d import migrate_cell_2d
-                data, alive, cell_lost = migrate_cell_2d(
-                    data, alive, specs, nloc[0], nloc[1],
-                    recompute_ig=(sp.pusher != "photon"),
-                    exact=(self.cell_migration == "exact"))
-                pos = (data["x"], data["y"])
+                if ndim == 2:
+                    from ..ops.cell2d import migrate_cell_2d
+                    data, alive, cell_lost = migrate_cell_2d(
+                        data, alive, specs, nloc[0], nloc[1],
+                        recompute_ig=(sp.pusher != "photon"),
+                        exact=(self.cell_migration == "exact"))
+                    pos = (data["x"], data["y"])
+                else:
+                    from ..ops.cell3d import migrate_cell_3d
+                    data, alive, cell_lost = migrate_cell_3d(
+                        data, alive, specs, nloc[0], nloc[1], nloc[2],
+                        recompute_ig=(sp.pusher != "photon"),
+                        exact=(self.cell_migration == "exact"))
+                    pos = (data["x"], data["y"], data["z"])
                 ux, uy, uz = data["ux"], data["uy"], data["uz"]
                 ig = data["inv_gamma"]
 
             # Esirkepov deposition (reference stage current_deposition)
             w = jnp.where(alive, data["w"], 0.0)
             if sp.q != 0.0 and self.switches["current_deposition"]:
-                if cell_layout:
+                if cell_layout and ndim == 2:
                     from ..ops.cell2d import deposit_cell_2d
                     jpad = deposit_cell_2d(
                         pos[0], pos[1], ux, uy, uz, ig, w, q=sp.q,
                         dx=grid.dx, dy=grid.dy, dt=dt, g=g)
+                elif cell_layout:
+                    from ..ops.cell3d import deposit_cell_3d
+                    jpad = deposit_cell_3d(
+                        pos[0], pos[1], pos[2], ux, uy, uz, ig, w, q=sp.q,
+                        dx=grid.dx, dy=grid.dy, dz=grid.dz, dt=dt, g=g)
                 elif tile_cfg is not None:
                     win = _dep_tiled(pos[0], pos[1], ux, uy, uz, ig, w,
                                      tile_cfg, q=sp.q, dx=grid.dx,
@@ -661,10 +679,83 @@ class StepBuilder:
 
         tile_cfg = self.tile_cfg
 
+        cell_layout = self.cell_layout
+        axis_names = grid.axis_names
+        mesh_shape = grid.mesh_shape
+
         def species_shift(pstate: ParticlesState, new_vals, n_new, buf,
                           tcfg=None):
             from ..parallel.inject import insert_local
             from ..parallel.migrate import migrate_axis, sanitize_dead
+
+            def local_cell(data, alive, next_id, overflow, nv, nalive):
+                """Cell layout: the window shift IS a roll of the slot
+                arrays one cell left along x (content of cell i+1 moves
+                to cell i; device edges ppermute), x -= 1 uniformly, and
+                the host-injected right-edge column (already cell-binned)
+                overwrites the (dead) incoming column on the rightmost
+                device."""
+                nd = 1 + ndim                    # cap + cell axes
+                shp = alive.shape[-nd:]
+                lead = alive.shape[:-nd]
+                data = {k: v.reshape(v.shape[-nd:]) for k, v in data.items()}
+                alive = alive.reshape(shp)
+                next_id = next_id.reshape(())
+                overflow = overflow.reshape(())
+                nv = {k: v.reshape(v.shape[-(nd - 1):]) for k, v in nv.items()}
+                nalive = nalive.reshape(nalive.shape[-(nd - 1):])
+
+                names = sorted(data)
+                spec = specs[0]
+                moved, valid = _roll_with_edge_exchange(
+                    ({k: data[k] for k in names}, alive), 1, -1, spec)
+                # device-crossing entries came from the neighbor's column
+                # 0 and land at local nx-1: their x is 0-based there,
+                # adjust by +nx_loc then the uniform -1 below
+                to_wrap = (jnp.arange(shp[1]) == shp[1] - 1).reshape(
+                    (1, shp[1]) + (1,) * (ndim - 1))
+                moved = dict(moved)
+                moved["x"] = jnp.where(to_wrap, moved["x"] + nloc[0],
+                                       moved["x"])
+                i = lax.axis_index(spec.axis_name)
+                is_last = i == spec.size - 1
+                # window x boundary is open: nothing wraps around
+                valid = valid & ~(to_wrap & is_last)
+                data = moved
+                alive = valid
+                data["x"] = jnp.where(alive, data["x"] - 1.0, data["x"])
+
+                # injection into the right-edge column of the last device
+                inj = nalive & is_last
+                ncol = jnp.cumsum(
+                    inj[:, None].reshape(-1).astype(jnp.uint32)).reshape(
+                        inj.shape) - jnp.uint32(1)
+                didx = jnp.int32(0)
+                for name, size in zip(axis_names, mesh_shape):
+                    didx = didx * size + jax.lax.axis_index(name)
+                col = {}
+                for k in names:
+                    if k == "id_lo":
+                        v = next_id + ncol
+                    elif k == "id_hi":
+                        v = jnp.full(inj.shape, didx.astype(jnp.uint32))
+                    elif k in nv:
+                        v = nv[k]
+                    else:
+                        v = jnp.zeros(inj.shape, data[k].dtype)
+                    col[k] = v.astype(data[k].dtype)
+                for k in names:
+                    edge = jnp.where(inj, col[k], data[k][:, -1])
+                    data[k] = jnp.concatenate(
+                        [data[k][:, :-1], edge[:, None]], axis=1)
+                edge_alive = jnp.where(inj, True, alive[:, -1])
+                alive = jnp.concatenate([alive[:, :-1],
+                                         edge_alive[:, None]], axis=1)
+                next_id = next_id + jnp.sum(inj).astype(jnp.uint32)
+
+                return ({k: v.reshape(lead + shp) for k, v in data.items()},
+                        alive.reshape(lead + shp),
+                        next_id.reshape(lead), overflow.reshape(lead))
 
             def local_tiled(data, alive, next_id, overflow, nv, nn):
                 """Tiled layout: x -= 1, re-bin along x (migrate_tiled),
@@ -725,7 +816,12 @@ class StepBuilder:
                         alive.reshape(lead + (cap,)),
                         next_id.reshape(lead), overflow.reshape(lead))
 
-            local = local_flat if tcfg is None else local_tiled
+            if cell_layout:
+                local = local_cell
+            elif tcfg is not None:
+                local = local_tiled
+            else:
+                local = local_flat
 
             dspec = {k: self._p_part for k in pstate.data}
             nvspec = {k: self._p_part for k in new_vals}

@@ -104,18 +104,63 @@ def test_rebin_interval_matches_every_step(rebin, chunk):
                                        err_msg=f"species {i} {k}")
 
 
-@pytest.mark.parametrize("periodic", [True, False])
-def test_cell_engine_matches_untiled(periodic):
+@pytest.mark.parametrize("periodic,migration", [(True, "exact"),
+                                                (False, "exact"),
+                                                (False, "fast")])
+def test_cell_engine_matches_untiled(periodic, migration):
     """The cell-binned engine (ops/cell2d.py, opt-in tiling='cell') must
-    reproduce the scatter path end-to-end through the sharded step."""
+    reproduce the scatter path end-to-end through the sharded step.
+    The fast overwrite-merge re-binning is lossless in this mild setup
+    (no positional collisions), so it must match exactly too."""
     f_ref, p_ref = run_case(None, periodic)
-    f_cel, p_cel = run_case("cell", periodic)
+    f_cel, p_cel = run_case("cell", periodic, cell_migration=migration)
     for name in f_ref:
         scale = np.abs(f_ref[name]).max() + 1e-30
         np.testing.assert_allclose(f_cel[name], f_ref[name],
                                    atol=1e-9 * scale, err_msg=name)
     for i in range(2):
         for k in ("x", "y", "ux", "uy", "uz", "w"):
+            a = np.sort(p_ref[i][k])
+            b = np.sort(p_cel[i][k])
+            assert a.shape == b.shape, (i, k)
+            np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"species {i} {k}")
+
+
+def test_cell_engine_matches_scatter_3d():
+    """3D cell engine (ops/cell3d.py) == 3D scatter path end-to-end,
+    sharded over a 2x2x2 device mesh."""
+    from lambdapic_tpu import Simulation3D, SimpleLaser3D
+
+    def run3d(tiling, **kw):
+        _ALL_SPECIES.clear()
+
+        def density(x, y, z):
+            return np.where((x > 0.8 * um) & (x < 2 * um), 2 * nc, 0.0)
+
+        ele = Electron(density=density, ppc=2)
+        pro = Proton(density=density, ppc=2)
+        sim = Simulation3D(nx=24, ny=16, nz=16, dx=l0 / 8, dy=l0 / 8,
+                           dz=l0 / 8, npatch_x=2, npatch_y=2, npatch_z=2,
+                           random_seed=3, precision="double",
+                           tiling=tiling, **kw)
+        sim.add_species([ele, pro])
+        laser = SimpleLaser3D(a0=4, w0=1 * um, ctau=1 * um)
+        sim.run(nsteps=5, callbacks=[laser])
+        fields = {n: sim.get_field(n) for n in
+                  ("ex", "ey", "ez", "bx", "by", "bz", "jx", "jy", "jz",
+                   "rho")}
+        parts = [sim.get_particles(i) for i in range(2)]
+        return fields, parts
+
+    f_ref, p_ref = run3d(None)
+    f_cel, p_cel = run3d("cell", cell_migration="exact")
+    for name in f_ref:
+        scale = np.abs(f_ref[name]).max() + 1e-30
+        np.testing.assert_allclose(f_cel[name], f_ref[name],
+                                   atol=1e-9 * scale, err_msg=name)
+    for i in range(2):
+        for k in ("x", "y", "z", "ux", "uy", "uz", "w"):
             a = np.sort(p_ref[i][k])
             b = np.sort(p_cel[i][k])
             assert a.shape == b.shape, (i, k)

@@ -21,7 +21,7 @@ def clear_species_registry():
     _ALL_SPECIES.clear()
 
 
-def run_case(tiling, nsteps=40):
+def run_case(tiling, nsteps=40, **kw):
     _ALL_SPECIES.clear()
 
     def density(x, y):
@@ -30,7 +30,7 @@ def run_case(tiling, nsteps=40):
     ele = Electron(density=density, ppc=2)
     sim = Simulation(nx=128, ny=32, dx=l0 / 8, dy=l0 / 4,
                      npatch_x=4, npatch_y=2, random_seed=0,
-                     precision="double", tiling=tiling)
+                     precision="double", tiling=tiling, **kw)
     sim.add_species([ele])
     window = MovingWindow(velocity=c, start_time=3e-15)
     sim.run(nsteps=nsteps, callbacks=[window])
@@ -49,4 +49,20 @@ def test_tiled_moving_window_matches_untiled():
     assert len(p_til["x"]) == len(p_ref["x"])
     for k in ("x", "y", "w"):
         np.testing.assert_allclose(np.sort(p_til[k]), np.sort(p_ref[k]),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+def test_cell_moving_window_matches_untiled():
+    """Cell engine: the window shift is a one-cell roll of the slot
+    arrays (StepBuilder.make_window_shift local_cell path)."""
+    sim_r, f_ref, p_ref = run_case(None)
+    sim_c, f_cel, p_cel = run_case("cell", cell_migration="exact")
+    assert sim_c._window_offset == sim_r._window_offset > 0
+    for name in f_ref:
+        scale = np.abs(f_ref[name]).max() + 1e-30
+        np.testing.assert_allclose(f_cel[name], f_ref[name],
+                                   atol=1e-9 * scale, err_msg=name)
+    assert len(p_cel["x"]) == len(p_ref["x"])
+    for k in ("x", "y", "w"):
+        np.testing.assert_allclose(np.sort(p_cel[k]), np.sort(p_ref[k]),
                                    rtol=1e-9, atol=1e-12, err_msg=k)
