@@ -305,3 +305,62 @@ def migrate_cell_2d(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
         data, alive,
         ((nx_loc, specs[0], "x"), (ny_loc, specs[1], "y")),
         recompute_ig=recompute_ig, exact=exact)
+
+
+def insert_cells(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
+                 next_id: jnp.ndarray, new_vals: Dict[str, jnp.ndarray],
+                 valid: jnp.ndarray, device_id=None):
+    """Cell-aligned in-step creation (QED photon/pair birth): newborns sit
+    at their parent's slot in the parent species' cell layout, and a
+    newborn's position equals its parent's, so its home cell is the
+    parent's cell — insertion is a per-cell merge of (child survivors,
+    newborn buffer) along the slot axis. Dimension-generic counterpart of
+    ops/tiled2d.py::insert_tiled (reference qed/cpu.py create_*_patches).
+
+    data/alive: child species, (cap_c, *cells). new_vals/valid:
+    (cap_src, *cells) elementwise newborn values at parent slots.
+    Ids are sequential from ``next_id`` via intra-cell cumsum + an
+    exclusive scan over per-cell counts. Newborns that find no free slot
+    in their cell are dropped and counted.
+
+    Returns (data, alive, next_id, n_lost)."""
+    cap = alive.shape[0]
+    vi = valid.astype(jnp.int32)
+    intra = jnp.cumsum(vi, axis=0) - vi                # exclusive, per cell
+    counts = jnp.sum(vi, axis=0)                       # (*cells,)
+    flat = counts.reshape(-1)
+    base = (jnp.cumsum(flat) - flat).reshape(counts.shape)
+    rank = base[None] + intra
+    ids = next_id + rank.astype(jnp.uint32)
+
+    keys = jnp.concatenate([
+        jnp.where(alive, 0, 2).astype(jnp.int32),
+        jnp.where(valid, 1, 2).astype(jnp.int32)], axis=0)
+    names = sorted(data)
+    ops = []
+    for k in names:
+        arr = data[k]
+        if k == "id_lo":
+            nv = ids
+        elif k == "id_hi":
+            # newborns belong to THIS device: resident slots can hold
+            # immigrants carrying a foreign id_hi, so never copy from them
+            if device_id is None:
+                nv = jnp.broadcast_to(arr[:1], valid.shape)
+            else:
+                nv = jnp.full(valid.shape, 0, arr.dtype) + \
+                    device_id.astype(arr.dtype)
+        elif k in new_vals:
+            nv = jnp.where(valid, new_vals[k].astype(arr.dtype), 0)
+        elif k == "inv_gamma":
+            nv = jnp.ones(valid.shape, arr.dtype)
+        else:
+            nv = jnp.zeros(valid.shape, arr.dtype)
+        ops.append(jnp.concatenate([arr, nv.astype(arr.dtype)], axis=0))
+    sorted_ops = lax.sort([keys] + ops, dimension=0, num_keys=1)
+    kept = sorted_ops[0][:cap]
+    n_lost = jnp.sum(sorted_ops[0][cap:] < 2).astype(jnp.int32)
+    out = {k: o[:cap] for k, o in zip(names, sorted_ops[1:])}
+    alive = kept < 2
+    next_id = next_id + jnp.sum(counts).astype(jnp.uint32)
+    return out, alive, next_id, n_lost

@@ -247,10 +247,8 @@ def bin_cells(arrays: Dict[str, np.ndarray], counts: np.ndarray,
         slot = np.arange(n) - np.searchsorted(fs, fs, side="left")
         occ_max = max(occ_max, int(slot.max()) + 1 if n else 0)
         binned[dev] = (order, fs, slot)
-    if cap_c is None:
-        cap_c = max(8, int(np.ceil(occ_max * factor / 8) * 8))
-    elif occ_max > cap_c:
-        raise ValueError(f"cell capacity {cap_c} exceeded ({occ_max})")
+    auto = max(8, int(np.ceil(occ_max * factor / 8) * 8))
+    cap_c = auto if cap_c is None else max(cap_c, auto)   # cap_c = floor
 
     out = {k: np.zeros(mshape + (cap_c,) + nloc, dtype=v.dtype)
            for k, v in arrays.items()}

@@ -330,9 +330,19 @@ class Simulation:
             tile_cap = 0
             if self.tiling == "cell":
                 from .initfill import bin_cells
+                cap_c = None
+                if sp.capacity is not None:
+                    # Species(capacity=) = per-device floor, spread
+                    # uniformly over cells (QED child headroom)
+                    ncells = int(np.prod(
+                        (self.grid.nx_loc, self.grid.ny_loc,
+                         self.grid.nz_loc)[:self.dimension]))
+                    cap_c = max(8, int(np.ceil(
+                        sp.capacity / ncells / 8) * 8))
                 arrays, alive_np, tile_cap = bin_cells(
                     arrays, counts, self.grid,
-                    factor=self._config.particle_capacity_factor)
+                    factor=self._config.particle_capacity_factor,
+                    cap_c=cap_c)
                 pst = self._tiled_state(sp, arrays, alive_np, dtype)
                 cap = tile_cap
             elif self.tiling is not None:
@@ -396,10 +406,6 @@ class Simulation:
             if getattr(self, "_collision_groups", None):
                 raise NotImplementedError(
                     "cell binning does not support collisions yet")
-            for sp in self.species:
-                if sp.has_qed:
-                    raise NotImplementedError(
-                        "cell binning does not support QED yet")
             return
         tx, ty = self.tiling
         g = self.grid

@@ -528,7 +528,9 @@ class StepBuilder:
         ndim = self.grid.dimension
         parts = list(parts)
         tiled = self.tile_cfg is not None
-        nlocal = 3 if tiled else 1       # (ntx, nty, cap_t) vs (cap,)
+        cell = self.cell_layout
+        # (ntx, nty, cap_t) / (cap_c, *cells) / (cap,)
+        nlocal = (1 + ndim) if cell else (3 if tiled else 1)
         g_axes = self.grid.axis_names
         g_mesh = self.grid.mesh_shape
 
@@ -553,11 +555,14 @@ class StepBuilder:
                 edata, ealive, _, lead, cap_e = squeeze(edata, ealive)
                 phdata, phalive, (phnext, phover), _, cap_p = squeeze(
                     phdata, phalive, phnext, phover)
-                if tiled:
-                    from ..ops.tiled2d import insert_tiled
+                if tiled or cell:
+                    if cell:
+                        from ..ops.cell2d import insert_cells as _insert
+                    else:
+                        from ..ops.tiled2d import insert_tiled as _insert
                     ev = ealive & (edata["event"] > 0)
                     new = proc.photon_newborns(edata, ndim)
-                    phdata, phalive, phnext, lost = insert_tiled(
+                    phdata, phalive, phnext, lost = _insert(
                         phdata, phalive, phnext, new, ev,
                         device_id=device_index())
                     phover = phover + lost
@@ -601,14 +606,17 @@ class StepBuilder:
                     edata, ealive, enext, eover)
                 pdata, palive, (pnext, pover), _, cap_p = squeeze(
                     pdata, palive, pnext, pover)
-                if tiled:
-                    from ..ops.tiled2d import insert_tiled
+                if tiled or cell:
+                    if cell:
+                        from ..ops.cell2d import insert_cells as _insert
+                    else:
+                        from ..ops.tiled2d import insert_tiled as _insert
                     ev = phalive & (phdata["event"] > 0)
                     new_e, new_p = proc.pair_newborns(phdata, ndim)
                     didx = device_index()
-                    edata, ealive, enext, lost_e = insert_tiled(
+                    edata, ealive, enext, lost_e = _insert(
                         edata, ealive, enext, new_e, ev, device_id=didx)
-                    pdata, palive, pnext, lost_p = insert_tiled(
+                    pdata, palive, pnext, lost_p = _insert(
                         pdata, palive, pnext, new_p, ev, device_id=didx)
                     eover = eover + lost_e
                     pover = pover + lost_p

@@ -19,23 +19,24 @@ def clear_species_registry():
     _ALL_SPECIES.clear()
 
 
-def _tiled_sim(species, seed=3):
+def _tiled_sim(species, seed=3, tiling=(8, 8)):
     bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
     sim = Simulation(nx=32, ny=32, dx=1e-7, dy=1e-7, npatch_x=2, npatch_y=2,
                      boundary_conditions=bc, random_seed=seed,
-                     precision="double", tiling=(8, 8))
+                     precision="double", tiling=tiling)
     sim.add_species(species)
     return sim
 
 
-def test_tiled_photon_emission():
-    """Emission into tile-local dead slots: photons appear, inherit the
-    parent weight, sit inside the parent's tile (same position), and carry
-    a momentum fraction of the parent's."""
+@pytest.mark.parametrize("tiling", [(8, 8), "cell"])
+def test_tiled_photon_emission(tiling):
+    """Emission into tile-local (or cell-local) dead slots: photons appear,
+    inherit the parent weight, sit inside the parent's tile (same
+    position), and carry a momentum fraction of the parent's."""
     pho = Photon(capacity=4096)
     ele = Electron(radiation="photons")
     ele.set_photon(pho)
-    sim = _tiled_sim([ele, pho])
+    sim = _tiled_sim([ele, pho], tiling=tiling)
     sim.initialize()
 
     n = 200
@@ -77,14 +78,15 @@ def test_tiled_photon_emission():
     assert len(np.unique(ids)) == n_ph
 
 
-def test_tiled_pair_production():
+@pytest.mark.parametrize("tiling", [(8, 8), "cell"])
+def test_tiled_pair_production(tiling):
     """Pair creation under tiling: photon removed, e-/e+ inserted in the
     photon's tile with momentum split delta/(1-delta)."""
     ele = Electron(capacity=2048)
     pos = Positron(capacity=2048)
     pho = Photon()
     pho.set_bw_pair(electron=ele, positron=pos)
-    sim = _tiled_sim([pho, ele, pos])
+    sim = _tiled_sim([pho, ele, pos], tiling=tiling)
     sim.initialize()
 
     n = 500
