@@ -38,7 +38,8 @@ def build(config, args):
     # tile halo must cover R steps of CFL drift (see Simulation validation)
     import math
     n_guard = 3 if rebin <= 1 else 2 + math.ceil(rebin * 0.95 / 2**0.5)
-    tiled_kw = dict(tiling=tiling, rebin_interval=rebin, n_guard=n_guard)
+    tiled_kw = dict(tiling=tiling, rebin_interval=rebin, n_guard=n_guard,
+                    particle_capacity_factor=args.capacity_factor)
     cbs = []
 
     if config == "laser-target":
@@ -120,7 +121,8 @@ def main():
                              "laser-target-3d"])
     ap.add_argument("--nx", type=int, default=768)
     ap.add_argument("--ny", type=int, default=768)
-    ap.add_argument("--ppc", type=int, default=8)
+    ap.add_argument("--ppc", type=int, default=10,
+                help="particles/cell (reference example/laser-target.py:64 uses 10)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu-fallback-size", type=int, default=128)
@@ -134,6 +136,10 @@ def main():
     ap.add_argument("--rebin", type=int, default=4,
                     help="tiled re-binning interval (migration every R "
                          "steps; widens the tile halo accordingly)")
+    ap.add_argument("--capacity-factor", type=float, default=1.6,
+                    help="slot headroom over initial max occupancy "
+                         "(cell/tiled layouts); overflow losses are "
+                         "reported in extra.lost")
     args = ap.parse_args()
 
     os.environ.setdefault("LAMBDAPIC_LOG_LEVEL", "WARNING")
@@ -181,11 +187,15 @@ def main():
             "unit": "pushes/s",
             "vs_baseline": float(f"{pushes / 1e9:.4g}"),
         }
+    import numpy as _np
+    lost = int(sum(_np.asarray(p.overflow).sum()
+                   for p in sim.state.particles))
     result["extra"] = {
         "backend": jax.default_backend(),
         "config": args.config, "npart": int(npart),
         "steps_per_sec": float(f"{steps_per_sec:.4g}"),
-        "tiling": args.tiling,
+        "tiling": args.tiling, "lost": lost,
+        "lost_frac_per_step": float(f"{lost / max(npart, 1) / max(args.steps + args.warmup, 1):.3g}"),
     }
     print(json.dumps(result))
 

@@ -1,0 +1,514 @@
+"""Pallas TPU kernels for the cell-binned engine hot loop.
+
+The XLA cell kernels (ops/cell2d.py / cell3d.py) stream every tap panel
+and pair product through HBM — at bench scale the hot loop is bound on
+that intermediate traffic (the 3D deposit's 125-offset loop moves tens
+of GB per step). These kernels block over cells, keep every tap, prefix
+sum and pair product in VMEM, and touch HBM once per particle array.
+
+Two kernels per dimension, split around the migration sorts (the step
+order is gather/push -> re-bin -> deposit, ops/cell2d.py module
+docstring):
+
+- fused_push_cell_*: pos(dt/2) -> staggered gather -> Boris -> pos(dt/2)
+  in one pass (the TPU analog of the reference unified pusher,
+  unified_pusher_2d.c:157-365, minus the deposit, which needs the
+  re-binned layout). Optionally also emits the gathered E,B per slot
+  (QED species need them for chi; reference qed/inline.py:5-13 — chi
+  uses the PRE-push momentum, which the caller still holds, so running
+  the QED tau/event update after this kernel is order-equivalent to the
+  reference's _interpolator -> _qed -> _push_momentum sequence).
+- deposit_cell_*_pallas: 5-tap Esirkepov producing per-block rim
+  panels that an XLA epilogue overlap-adds into the padded J
+  (scatter-free accumulation across overlapping block footprints).
+
+Numerical contract identical to the XLA cell kernels (the parity
+oracles in tests/core/test_cellpallas.py). f32 on real TPU (pallas TPU
+has no f64); CPU tests run in interpret mode where f64 also works.
+
+Field windows are pre-sliced OUTSIDE the kernel (ebwin[i,j] = the
+block's field neighborhood) because BlockSpec index maps cannot express
+overlapping windows; the extraction is a cheap static-slice stack.
+
+Block shapes respect the TPU tiling rules: particle blocks are
+(cap, 8, 128) in 2D and (cap, bx, 8, nz) in 3D — the last two block
+dims are (8,128)-aligned or equal to the array dims.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from ..constants import c as c_light
+
+_GOFF = (-1, 0, 1)
+_HOFF = (-2, -1, 0, 1)
+_DOFF = (-2, -1, 0, 1, 2)
+# Yee staggering per component (reference interpolation/cpu2d.c:62-68,
+# cpu3d.c)
+_COMPS2 = ((0, "h", "g"), (1, "g", "h"), (2, "g", "g"),
+           (3, "g", "h"), (4, "h", "g"), (5, "h", "h"))
+_COMPS3 = ((0, "h", "g", "g"), (1, "g", "h", "g"), (2, "g", "g", "h"),
+           (3, "g", "h", "h"), (4, "h", "g", "h"), (5, "h", "h", "g"))
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _blk(n: int, pref: int) -> int:
+    """Block extent: the preferred (tile-aligned) size when it divides the
+    axis, else the whole axis (full-dim blocks are always legal)."""
+    return pref if n % pref == 0 else n
+
+
+def _blocks2(nx: int, ny: int) -> Tuple[int, int]:
+    return _blk(nx, 8), _blk(ny, 128)
+
+
+def _blocks3(nx: int, ny: int) -> Tuple[int, int]:
+    return _blk(nx, 2), _blk(ny, 8)
+
+
+def pallas_cell_ok(nloc: Tuple[int, ...], cap: int = 16) -> bool:
+    """Whether the local grid yields VMEM-sized blocks for these kernels
+    (~dozens of live block-sized temporaries must fit in ~16 MB)."""
+    if len(nloc) == 2:
+        bx, by = _blocks2(*nloc)
+        return cap * bx * by * 4 <= 1 << 19
+    bx, by = _blocks3(nloc[0], nloc[1])
+    return cap * bx * by * nloc[2] * 4 <= 1 << 19
+
+
+def _m2(d):
+    ad = jnp.abs(d)
+    return jnp.where(ad <= 0.5, 0.75 - d * d,
+                     jnp.where(ad < 1.5, 0.5 * (1.5 - ad) ** 2,
+                               jnp.zeros_like(d)))
+
+
+def _boris(ux, uy, uz, ex, ey, ez, bx, by, bz, q, m, dt, dtype):
+    """Boris rotation (same expressions as ops/pusher.py::boris_push)."""
+    efactor = jnp.asarray(q * dt / (2 * m * c_light), dtype)
+    bfactor = jnp.asarray(q * dt / (2 * m), dtype)
+    ux1 = ux + efactor * ex
+    uy1 = uy + efactor * ey
+    uz1 = uz + efactor * ez
+    ig1 = 1.0 / jnp.sqrt(1.0 + ux1**2 + uy1**2 + uz1**2)
+    tx = bfactor * bx * ig1
+    ty = bfactor * by * ig1
+    tz = bfactor * bz * ig1
+    t2 = tx**2 + ty**2 + tz**2
+    ux2 = ux1 + uy1 * tz - uz1 * ty
+    uy2 = uy1 + uz1 * tx - ux1 * tz
+    uz2 = uz1 + ux1 * ty - uy1 * tx
+    sfac = 2.0 / (1.0 + t2)
+    sx = tx * sfac
+    sy = ty * sfac
+    sz = tz * sfac
+    ux3 = ux1 + uy2 * sz - uz2 * sy
+    uy3 = uy1 + uz2 * sx - ux2 * sz
+    uz3 = uz1 + ux2 * sy - uy2 * sx
+    ux4 = ux3 + efactor * ex
+    uy4 = uy3 + efactor * ey
+    uz4 = uz3 + efactor * ez
+    ig = 1.0 / jnp.sqrt(1.0 + ux4**2 + uy4**2 + uz4**2)
+    return ux4, uy4, uz4, ig
+
+
+def _windows_2d(eb_pad, nbx, nby, bx, by, g, nyp):
+    wx, wy = bx + 2 * g, by + 2 * g
+    rows = []
+    for i in range(nbx):
+        cols = [lax.slice(eb_pad, (0, i * bx, j * by),
+                          (6, i * bx + wx, j * by + wy))
+                for j in range(nby)]
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)                 # (nbx, nby, 6, wx, wy)
+
+
+def _fold(rims, n: int, g: int, b: int):
+    """Overlap-add per-block panels (nb, C, b+4, *trail) into
+    (C, n+2g, *trail): block i's local index l maps to global padded
+    index (g-2) + i*b + l."""
+    nb, C = rims.shape[:2]
+    trail = rims.shape[3:]
+    npad = n + 2 * g
+    out = jnp.zeros((C, npad) + trail, rims.dtype)
+
+    def place(out, part, start):
+        k = part.shape[2]
+        if k < b:
+            pad = [(0, 0)] * part.ndim
+            pad[2] = (0, b - k)
+            part = jnp.pad(part, pad)
+        flat = jnp.moveaxis(part, 0, 1).reshape((C, nb * b) + trail)
+        width = min(nb * b, npad - start)
+        flat = flat[:, :width]
+        zeros = (0,) * len(trail)
+        cur = lax.slice(out, (0, start) + zeros, (C, start + width) + trail)
+        return lax.dynamic_update_slice(out, cur + flat,
+                                        (0, start) + zeros)
+
+    out = place(out, rims[:, :, 2:2 + b], g)
+    out = place(out, rims[:, :, 0:2], g - 2)
+    out = place(out, rims[:, :, 2 + b:], g + b)
+    return out
+
+
+def _fold_xy(rims, nx, ny, g, bx, by):
+    """(nbx, nby, 4, bx+4, by+4, *z) -> (4, nx+2g, ny+2g, *z)."""
+    nbx, nby = rims.shape[:2]
+    bx4, by4 = rims.shape[3], rims.shape[4]
+    trail = rims.shape[5:]
+    # fold y: (nby, C=nbx*4*bx4, by4, *z)
+    r = jnp.moveaxis(rims, 1, 0).reshape((nby, nbx * 4 * bx4, by4) + trail)
+    r = _fold(r, ny, g, by)                       # (C, nyp, *z)
+    nyp = ny + 2 * g
+    r = r.reshape((nbx, 4, bx4, nyp) + trail)
+    return _fold(r, nx, g, bx)                    # (4, nxp, nyp, *z)
+
+
+# ======================================================================
+# K1: fused position/gather/Boris/position
+# ======================================================================
+
+def fused_push_cell_2d(eb_pad, x, y, ux, uy, uz, *, q: float, m: float,
+                       dt: float, dx: float, dy: float, g: int,
+                       want_eb: bool = False):
+    """Returns (x', y', ux', uy', uz', ig'[, 6 gathered components]).
+
+    eb_pad (6, nx+2g, ny+2g); particle arrays (cap, nx, ny) in
+    device-local cell coordinates, freshly re-binned (delta in
+    [-0.5, 0.5) before the half push). inv_gamma is recomputed from u
+    (the migrate/sanitize invariants make this bitwise-consistent)."""
+    cap, nx, ny = x.shape
+    dtype = x.dtype
+    bx, by = _blocks2(nx, ny)
+    nbx, nby = nx // bx, ny // by
+    wx, wy = bx + 2 * g, by + 2 * g
+    nyp = ny + 2 * g
+    cdt_x = float(c_light * dt / dx)
+    cdt_y = float(c_light * dt / dy)
+    ebwin = _windows_2d(eb_pad, nbx, nby, bx, by, g, nyp)
+
+    def kernel(ebw_ref, x_ref, y_ref, ux_ref, uy_ref, uz_ref, *out_refs):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        xb = x_ref[...]
+        yb = y_ref[...]
+        uxb = ux_ref[...]
+        uyb = uy_ref[...]
+        uzb = uz_ref[...]
+        ig = 1.0 / jnp.sqrt(1.0 + uxb**2 + uyb**2 + uzb**2)
+        xm = xb + (0.5 * cdt_x) * uxb * ig
+        ym = yb + (0.5 * cdt_y) * uyb * ig
+
+        shp = (cap, bx, by)
+        ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
+              + i * bx).astype(dtype)
+        iy = (lax.broadcasted_iota(jnp.int32, shp, 2)
+              + j * by).astype(dtype)
+        dxl = xm - ix
+        dyl = ym - iy
+        tapx = {"g": {o: _m2(o - dxl) for o in _GOFF},
+                "h": {o: _m2(o + 0.5 - dxl) for o in _HOFF}}
+        tapy = {"g": {o: _m2(o - dyl) for o in _GOFF},
+                "h": {o: _m2(o + 0.5 - dyl) for o in _HOFF}}
+
+        eb = []
+        for comp, sx_, sy_ in _COMPS2:
+            acc = jnp.zeros(shp, dtype)
+            for ox, tx in tapx[sx_].items():
+                for oy, ty in tapy[sy_].items():
+                    f = ebw_ref[0, 0, comp, g + ox:g + ox + bx,
+                                g + oy:g + oy + by]
+                    acc = acc + tx * ty * f[None]
+            eb.append(acc)
+
+        ux4, uy4, uz4, ig2 = _boris(uxb, uyb, uzb, *eb, q, m, dt, dtype)
+        xn = xm + (0.5 * cdt_x) * ux4 * ig2
+        yn = ym + (0.5 * cdt_y) * uy4 * ig2
+
+        outs = [xn, yn, ux4, uy4, uz4, ig2] + (eb if want_eb else [])
+        for ref, val in zip(out_refs, outs):
+            ref[...] = val
+
+    pspec = pl.BlockSpec((cap, bx, by), lambda i, j: (0, i, j))
+    wspec = pl.BlockSpec((1, 1, 6, wx, wy), lambda i, j: (i, j, 0, 0, 0))
+    n_out = 6 + (6 if want_eb else 0)
+    out_shape = [jax.ShapeDtypeStruct((cap, nx, ny), dtype)] * n_out
+    return pl.pallas_call(
+        kernel,
+        grid=(nbx, nby),
+        in_specs=[wspec] + [pspec] * 5,
+        out_specs=[pspec] * n_out,
+        out_shape=out_shape,
+        interpret=_use_interpret(),
+    )(ebwin, x, y, ux, uy, uz)
+
+
+# ======================================================================
+# K2: 5-tap Esirkepov deposit, post-re-bin
+# ======================================================================
+
+def deposit_cell_2d_pallas(x, y, ux, uy, uz, inv_gamma, w, *, q: float,
+                           dx: float, dy: float, dt: float, g: int):
+    """Same contract as ops/cell2d.py::deposit_cell_2d (home-cell binned
+    input; w == 0 for dead slots). Returns jpad (4, nx+2g, ny+2g)."""
+    cap, nx, ny = x.shape
+    dtype = x.dtype
+    bx, by = _blocks2(nx, ny)
+    nbx, nby = nx // bx, ny // by
+    cdt_x = float(c_light * dt / dx)
+    cdt_y = float(c_light * dt / dy)
+    f_cd = float(q / (dx * dy))
+    f_dx = float(q / (dy * dt))
+    f_dy = float(q / (dx * dt))
+
+    def kernel(x_ref, y_ref, ux_ref, uy_ref, uz_ref, ig_ref, w_ref,
+               out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ig = ig_ref[...]
+        wb = w_ref[...]
+        vx = ux_ref[...] * ig * cdt_x
+        vy = uy_ref[...] * ig * cdt_y
+        vz = uz_ref[...] * ig * float(c_light)
+        shp = (cap, bx, by)
+        ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
+              + i * bx).astype(dtype)
+        iy = (lax.broadcasted_iota(jnp.int32, shp, 2)
+              + j * by).astype(dtype)
+        dxl = x_ref[...] - ix
+        dyl = y_ref[...] - iy
+
+        s0x = {o: _m2(o - (dxl - 0.5 * vx)) for o in _DOFF}
+        s1x = {o: _m2(o - (dxl + 0.5 * vx)) for o in _DOFF}
+        s0y = {o: _m2(o - (dyl - 0.5 * vy)) for o in _DOFF}
+        s1y = {o: _m2(o - (dyl + 0.5 * vy)) for o in _DOFF}
+
+        cd = f_cd * wb
+        fdx = f_dx * wb
+        fdy = f_dy * wb
+        cvz = cd * vz
+
+        fx_run = {}
+        acc = jnp.zeros(shp, dtype)
+        for o in _DOFF:
+            acc = acc + (s1x[o] - s0x[o])
+            fx_run[o] = -fdx * acc
+        gy_run = {}
+        acc = jnp.zeros(shp, dtype)
+        for o in _DOFF:
+            acc = acc + (s1y[o] - s0y[o])
+            gy_run[o] = -fdy * acc
+
+        out_ref[...] = jnp.zeros(out_ref.shape, dtype)
+        for ox in _DOFF:
+            dsx = s1x[ox] - s0x[ox]
+            ax = s0x[ox] + 0.5 * dsx
+            for oy in _DOFF:
+                dsy = s1y[oy] - s0y[oy]
+                by_t = s0y[oy] + 0.5 * dsy
+                jx_c = (fx_run[ox] * by_t).sum(0)
+                jy_c = (ax * gy_run[oy]).sum(0)
+                jz_c = (cvz * (ax * by_t + dsx * dsy * (1.0 / 12.0))).sum(0)
+                rho_c = (cd * s1x[ox] * s1y[oy]).sum(0)
+                cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])   # (4, bx, by)
+                cur = out_ref[0, 0, :, 2 + ox:2 + ox + bx,
+                              2 + oy:2 + oy + by]
+                out_ref[0, 0, :, 2 + ox:2 + ox + bx,
+                        2 + oy:2 + oy + by] = cur + cell
+
+    pspec = pl.BlockSpec((cap, bx, by), lambda i, j: (0, i, j))
+    ospec = pl.BlockSpec((1, 1, 4, bx + 4, by + 4),
+                         lambda i, j: (i, j, 0, 0, 0))
+    rims = pl.pallas_call(
+        kernel,
+        grid=(nbx, nby),
+        in_specs=[pspec] * 7,
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((nbx, nby, 4, bx + 4, by + 4),
+                                       dtype),
+        interpret=_use_interpret(),
+    )(x, y, ux, uy, uz, inv_gamma, w)
+
+    return _fold_xy(rims, nx, ny, g, bx, by)
+
+
+def fused_push_cell_3d(eb_pad, x, y, z, ux, uy, uz, *, q: float, m: float,
+                       dt: float, dx: float, dy: float, dz: float, g: int,
+                       want_eb: bool = False):
+    """3D fused pos/gather/Boris/pos: blocks over (x, y), z whole."""
+    cap, nx, ny, nz = x.shape
+    dtype = x.dtype
+    bx, by = _blocks3(nx, ny)
+    nbx, nby = nx // bx, ny // by
+    wx, wy = bx + 2 * g, by + 2 * g
+    nzp = nz + 2 * g
+    cdt = (float(c_light * dt / dx), float(c_light * dt / dy),
+           float(c_light * dt / dz))
+
+    rows = []
+    for i in range(nbx):
+        cols = [lax.slice(eb_pad, (0, i * bx, j * by, 0),
+                          (6, i * bx + wx, j * by + wy, nzp))
+                for j in range(nby)]
+        rows.append(jnp.stack(cols))
+    ebwin = jnp.stack(rows)        # (nbx, nby, 6, wx, wy, nzp)
+
+    def kernel(ebw_ref, x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref,
+               *out_refs):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        xb, yb, zb = x_ref[...], y_ref[...], z_ref[...]
+        uxb, uyb, uzb = ux_ref[...], uy_ref[...], uz_ref[...]
+        ig = 1.0 / jnp.sqrt(1.0 + uxb**2 + uyb**2 + uzb**2)
+        xm = xb + (0.5 * cdt[0]) * uxb * ig
+        ym = yb + (0.5 * cdt[1]) * uyb * ig
+        zm = zb + (0.5 * cdt[2]) * uzb * ig
+
+        shp = (cap, bx, by, nz)
+        ix = (lax.broadcasted_iota(jnp.int32, shp, 1) + i * bx).astype(dtype)
+        iy = (lax.broadcasted_iota(jnp.int32, shp, 2) + j * by).astype(dtype)
+        iz = lax.broadcasted_iota(jnp.int32, shp, 3).astype(dtype)
+        dxl, dyl, dzl = xm - ix, ym - iy, zm - iz
+        tapx = {"g": {o: _m2(o - dxl) for o in _GOFF},
+                "h": {o: _m2(o + 0.5 - dxl) for o in _HOFF}}
+        tapy = {"g": {o: _m2(o - dyl) for o in _GOFF},
+                "h": {o: _m2(o + 0.5 - dyl) for o in _HOFF}}
+        tapz = {"g": {o: _m2(o - dzl) for o in _GOFF},
+                "h": {o: _m2(o + 0.5 - dzl) for o in _HOFF}}
+
+        eb = []
+        for comp, sx_, sy_, sz_ in _COMPS3:
+            acc = jnp.zeros(shp, dtype)
+            for oy, ty in tapy[sy_].items():
+                for oz, tz in tapz[sz_].items():
+                    tyz = ty * tz
+                    for ox, tx in tapx[sx_].items():
+                        f = ebw_ref[0, 0, comp,
+                                    g + ox:g + ox + bx,
+                                    g + oy:g + oy + by,
+                                    g + oz:g + oz + nz]
+                        acc = acc + tx * tyz * f[None]
+            eb.append(acc)
+
+        ux4, uy4, uz4, ig2 = _boris(uxb, uyb, uzb, *eb, q, m, dt, dtype)
+        xn = xm + (0.5 * cdt[0]) * ux4 * ig2
+        yn = ym + (0.5 * cdt[1]) * uy4 * ig2
+        zn = zm + (0.5 * cdt[2]) * uz4 * ig2
+
+        outs = [xn, yn, zn, ux4, uy4, uz4, ig2] + (eb if want_eb else [])
+        for ref, val in zip(out_refs, outs):
+            ref[...] = val
+
+    pspec = pl.BlockSpec((cap, bx, by, nz), lambda i, j: (0, i, j, 0))
+    wspec = pl.BlockSpec((1, 1, 6, wx, wy, nzp),
+                         lambda i, j: (i, j, 0, 0, 0, 0))
+    n_out = 7 + (6 if want_eb else 0)
+    out_shape = [jax.ShapeDtypeStruct((cap, nx, ny, nz), dtype)] * n_out
+    return pl.pallas_call(
+        kernel,
+        grid=(nbx, nby),
+        in_specs=[wspec] + [pspec] * 6,
+        out_specs=[pspec] * n_out,
+        out_shape=out_shape,
+        interpret=_use_interpret(),
+    )(ebwin, x, y, z, ux, uy, uz)
+
+
+def deposit_cell_3d_pallas(x, y, z, ux, uy, uz, inv_gamma, w, *, q: float,
+                           dx: float, dy: float, dz: float, dt: float,
+                           g: int):
+    """3D 5-tap Esirkepov deposit (post-re-bin), blocked over (x, y);
+    same closed forms as ops/cell3d.py::deposit_cell_3d."""
+    cap, nx, ny, nz = x.shape
+    dtype = x.dtype
+    bx, by = _blocks3(nx, ny)
+    nbx, nby = nx // bx, ny // by
+    nzp = nz + 2 * g
+    cdt = (float(c_light * dt / dx), float(c_light * dt / dy),
+           float(c_light * dt / dz))
+    f_cd = float(q / (dx * dy * dz))
+    f_dx = float(q / (dy * dz * dt))
+    f_dy = float(q / (dx * dz * dt))
+    f_dz = float(q / (dx * dy * dt))
+
+    def kernel(x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, ig_ref, w_ref,
+               out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ig = ig_ref[...]
+        wb = w_ref[...]
+        vx = ux_ref[...] * ig * cdt[0]
+        vy = uy_ref[...] * ig * cdt[1]
+        vz = uz_ref[...] * ig * cdt[2]
+        shp = (cap, bx, by, nz)
+        ix = (lax.broadcasted_iota(jnp.int32, shp, 1) + i * bx).astype(dtype)
+        iy = (lax.broadcasted_iota(jnp.int32, shp, 2) + j * by).astype(dtype)
+        iz = lax.broadcasted_iota(jnp.int32, shp, 3).astype(dtype)
+        dxl, dyl, dzl = x_ref[...] - ix, y_ref[...] - iy, z_ref[...] - iz
+
+        def taps(d, v):
+            s0 = {o: _m2(o - (d - 0.5 * v)) for o in _DOFF}
+            s1 = {o: _m2(o - (d + 0.5 * v)) for o in _DOFF}
+            ds = {o: s1[o] - s0[o] for o in _DOFF}
+            a = {o: s0[o] + 0.5 * ds[o] for o in _DOFF}
+            cc = {o: 0.5 * s0[o] + ds[o] * (1.0 / 3.0) for o in _DOFF}
+            run = {}
+            acc = jnp.zeros(shp, dtype)
+            for o in _DOFF:
+                acc = acc + ds[o]
+                run[o] = acc
+            return s0, s1, ds, a, cc, run
+
+        s0x, s1x, dsx, ax, cx, runx = taps(dxl, vx)
+        s0y, s1y, dsy, ay, cy, runy = taps(dyl, vy)
+        s0z, s1z, dsz, az, cz, runz = taps(dzl, vz)
+
+        cd = f_cd * wb
+        fdx = f_dx * wb
+        fdy = f_dy * wb
+        fdz = f_dz * wb
+
+        out_ref[...] = jnp.zeros(out_ref.shape, dtype)
+        for oy in _DOFF:
+            for oz in _DOFF:
+                pyz_jx = -(ay[oy] * s0z[oz] + cy[oy] * dsz[oz]) * fdx
+                pyz_jy = -(runy[oy] * s0z[oz]) * fdy
+                pyz_jy2 = -(runy[oy] * dsz[oz]) * fdy
+                pyz_jz = -(runz[oz] * s0y[oy]) * fdz
+                pyz_jz2 = -(runz[oz] * dsy[oy]) * fdz
+                pyz_r = (s1y[oy] * s1z[oz]) * cd
+                for ox in _DOFF:
+                    jx_c = (runx[ox] * pyz_jx).sum(0)
+                    jy_c = (ax[ox] * pyz_jy + cx[ox] * pyz_jy2).sum(0)
+                    jz_c = (ax[ox] * pyz_jz + cx[ox] * pyz_jz2).sum(0)
+                    rho_c = (s1x[ox] * pyz_r).sum(0)
+                    cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
+                    cur = out_ref[0, 0, :, 2 + ox:2 + ox + bx,
+                                  2 + oy:2 + oy + by,
+                                  g + oz:g + oz + nz]
+                    out_ref[0, 0, :, 2 + ox:2 + ox + bx,
+                            2 + oy:2 + oy + by,
+                            g + oz:g + oz + nz] = cur + cell
+
+    pspec = pl.BlockSpec((cap, bx, by, nz), lambda i, j: (0, i, j, 0))
+    ospec = pl.BlockSpec((1, 1, 4, bx + 4, by + 4, nzp),
+                         lambda i, j: (i, j, 0, 0, 0, 0))
+    rims = pl.pallas_call(
+        kernel,
+        grid=(nbx, nby),
+        in_specs=[pspec] * 8,
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct(
+            (nbx, nby, 4, bx + 4, by + 4, nzp), dtype),
+        interpret=_use_interpret(),
+    )(x, y, z, ux, uy, uz, inv_gamma, w)
+
+    return _fold_xy(rims, nx, ny, g, bx, by)

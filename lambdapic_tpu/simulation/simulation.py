@@ -403,9 +403,6 @@ class Simulation:
             if self.rebin_interval != 1:
                 raise NotImplementedError(
                     "cell binning re-bins every step (rebin_interval=1)")
-            if getattr(self, "_collision_groups", None):
-                raise NotImplementedError(
-                    "cell binning does not support collisions yet")
             return
         tx, ty = self.tiling
         g = self.grid

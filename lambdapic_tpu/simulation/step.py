@@ -204,6 +204,12 @@ class StepBuilder:
             _ext_win, _fold_win = extract_windows, fold_windows
 
         cell_layout = self.cell_layout
+        if cell_layout:
+            from ..ops.cellpallas import pallas_cell_ok
+            use_pallas_cell = (self.tile_backend == "pallas"
+                               and pallas_cell_ok(nloc, sp.tile_cap))
+        else:
+            use_pallas_cell = False
 
         def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
             lead = alive.shape[:ndim]        # (1,) * ndim device axes
@@ -226,9 +232,51 @@ class StepBuilder:
             key = jax.random.fold_in(key, didx)
 
             push_on = self.switches["pusher"]
+            # fused pallas path: pos/gather/Boris/pos in one VMEM-resident
+            # kernel (ops/cellpallas.py). QED chi/events run AFTER it on
+            # the pre-push momenta still held in ``data`` — order-
+            # equivalent to the reference _interpolator -> _qed ->
+            # _push_momentum sequence.
+            fused = (use_pallas_cell and push_on
+                     and self.switches["interpolation"]
+                     and sp.pusher in ("boris", "boris+tbmt"))
+            if fused:
+                from ..ops.cellpallas import (fused_push_cell_2d,
+                                              fused_push_cell_3d)
+                want_eb = bool(qed)
+                if ndim == 2:
+                    outs = fused_push_cell_2d(
+                        eb_pad, data["x"], data["y"], data["ux"],
+                        data["uy"], data["uz"], q=sp.q, m=sp.m, dt=dt,
+                        dx=grid.dx, dy=grid.dy, g=g, want_eb=want_eb)
+                    new_pos, new_u = outs[:2], outs[2:5]
+                    new_ig, ebs = outs[5], outs[6:]
+                else:
+                    outs = fused_push_cell_3d(
+                        eb_pad, data["x"], data["y"], data["z"],
+                        data["ux"], data["uy"], data["uz"], q=sp.q,
+                        m=sp.m, dt=dt, dx=grid.dx, dy=grid.dy,
+                        dz=grid.dz, g=g, want_eb=want_eb)
+                    new_pos, new_u = outs[:3], outs[3:6]
+                    new_ig, ebs = outs[6], outs[7:]
+                if want_eb:
+                    for name, v in zip(("ex_part", "ey_part", "ez_part",
+                                        "bx_part", "by_part", "bz_part"),
+                                       ebs):
+                        data[name] = v
+                if self.switches["qed"]:
+                    for proc in qed:
+                        data, alive = proc.update_chi_and_events(
+                            data, alive, key, dt)
+                ux, uy, uz = new_u
+                ig = new_ig
+                pos = tuple(new_pos)
+
             # position half push (reference stage _push_position_1)
-            ig = data["inv_gamma"]
-            if not push_on:
+            ig = ig if fused else data["inv_gamma"]
+            if fused:
+                pass
+            elif not push_on:
                 pos = (data["x"], data["y"]) if ndim == 2 else (
                     data["x"], data["y"], data["z"])
             elif ndim == 2:
@@ -241,7 +289,9 @@ class StepBuilder:
                                        cdt[0] / 2, cdt[1] / 2, cdt[2] / 2)
 
             # gather (reference stage _interpolator)
-            if self.switches["interpolation"]:
+            if fused:
+                pass
+            elif self.switches["interpolation"]:
                 if cell_layout and ndim == 2:
                     from ..ops.cell2d import gather_cell_2d
                     eb_p = gather_cell_2d(eb_pad, pos[0], pos[1], g)
@@ -266,13 +316,15 @@ class StepBuilder:
                               "bx_part", "by_part", "bz_part"))
 
             # QED chi update + event sampling (reference stage _qed)
-            if self.switches["qed"]:
+            if self.switches["qed"] and not fused:
                 for proc in qed:
                     data, alive = proc.update_chi_and_events(data, alive,
                                                              key, dt)
 
             # momentum push (reference stage _push_momentum)
-            if not push_on:
+            if fused:
+                pass
+            elif not push_on:
                 ux, uy, uz = data["ux"], data["uy"], data["uz"]
                 ig = data["inv_gamma"]
             elif sp.pusher in ("boris", "boris+tbmt"):
@@ -289,7 +341,7 @@ class StepBuilder:
                 raise NotImplementedError(f"pusher {sp.pusher}")
 
             # position half push (reference stage _push_position_2)
-            if not push_on:
+            if fused or not push_on:
                 pass
             elif ndim == 2:
                 x, y = push_position_2d(pos[0], pos[1], ux, uy, ig,
@@ -333,13 +385,21 @@ class StepBuilder:
             w = jnp.where(alive, data["w"], 0.0)
             if sp.q != 0.0 and self.switches["current_deposition"]:
                 if cell_layout and ndim == 2:
-                    from ..ops.cell2d import deposit_cell_2d
-                    jpad = deposit_cell_2d(
+                    if use_pallas_cell:
+                        from ..ops.cellpallas import \
+                            deposit_cell_2d_pallas as _dep2
+                    else:
+                        from ..ops.cell2d import deposit_cell_2d as _dep2
+                    jpad = _dep2(
                         pos[0], pos[1], ux, uy, uz, ig, w, q=sp.q,
                         dx=grid.dx, dy=grid.dy, dt=dt, g=g)
                 elif cell_layout:
-                    from ..ops.cell3d import deposit_cell_3d
-                    jpad = deposit_cell_3d(
+                    if use_pallas_cell:
+                        from ..ops.cellpallas import \
+                            deposit_cell_3d_pallas as _dep3
+                    else:
+                        from ..ops.cell3d import deposit_cell_3d as _dep3
+                    jpad = _dep3(
                         pos[0], pos[1], pos[2], ux, uy, uz, ig, w, q=sp.q,
                         dx=grid.dx, dy=grid.dy, dz=grid.dz, dt=dt, g=g)
                 elif tile_cfg is not None:

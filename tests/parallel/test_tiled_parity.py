@@ -104,16 +104,22 @@ def test_rebin_interval_matches_every_step(rebin, chunk):
                                        err_msg=f"species {i} {k}")
 
 
-@pytest.mark.parametrize("periodic,migration", [(True, "exact"),
-                                                (False, "exact"),
-                                                (False, "fast")])
-def test_cell_engine_matches_untiled(periodic, migration):
+@pytest.mark.parametrize("periodic,migration,backend", [
+    (True, "exact", "xla"),
+    (False, "exact", "xla"),
+    (False, "fast", "xla"),
+    (False, "fast", "pallas"),
+])
+def test_cell_engine_matches_untiled(periodic, migration, backend):
     """The cell-binned engine (ops/cell2d.py, opt-in tiling='cell') must
-    reproduce the scatter path end-to-end through the sharded step.
-    The fast overwrite-merge re-binning is lossless in this mild setup
-    (no positional collisions), so it must match exactly too."""
+    reproduce the scatter path end-to-end through the sharded step —
+    through both the XLA kernels and the fused pallas kernels
+    (ops/cellpallas.py, interpret mode on CPU). The fast overwrite-merge
+    re-binning is lossless in this mild setup (no positional
+    collisions), so it must match exactly too."""
     f_ref, p_ref = run_case(None, periodic)
-    f_cel, p_cel = run_case("cell", periodic, cell_migration=migration)
+    f_cel, p_cel = run_case("cell", periodic, cell_migration=migration,
+                            backend=backend)
     for name in f_ref:
         scale = np.abs(f_ref[name]).max() + 1e-30
         np.testing.assert_allclose(f_cel[name], f_ref[name],

@@ -162,10 +162,14 @@ def test_collision_in_simulation():
         assert np.isfinite(sim.get_particles(1)[k]).all()
 
 
-def test_collision_in_tiled_simulation():
-    """Collisions under the tiled engine: the flat per-device pairing runs
-    on the flattened (ntx, nty, cap_t) view (momenta-only updates keep the
-    binning valid). Conserves energy and changes momenta."""
+import pytest
+
+
+@pytest.mark.parametrize("tiling", [(8, 8), "cell"])
+def test_collision_in_tiled_simulation(tiling):
+    """Collisions under the tiled/cell engines: the flat per-device pairing
+    runs on the flattened view (momenta-only updates keep the binning
+    valid). Conserves energy and changes momenta."""
     from lambdapic_tpu import Electron, Proton, Simulation
 
     def run(with_collisions):
@@ -176,7 +180,7 @@ def test_collision_in_tiled_simulation():
         bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
         sim = Simulation(nx=16, ny=16, dx=1e-7, dy=1e-7,
                          npatch_x=2, npatch_y=2, boundary_conditions=bc,
-                         random_seed=0, precision="double", tiling=(8, 8))
+                         random_seed=0, precision="double", tiling=tiling)
         sim.add_species([e1, pro])
         if with_collisions:
             sim.add_collision([[e1, e1, pro]], lnLambda=2.0)
