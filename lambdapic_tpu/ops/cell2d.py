@@ -165,7 +165,7 @@ _TRANSIENT = {"ex_part", "ey_part", "ez_part",
 
 def migrate_cells(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
                   plan, *, recompute_ig: bool = False,
-                  exact: bool = False):
+                  exact: bool = False, sort_fn=None):
     """Re-bin particles to their home cells — the overwrite-merge scheme,
     dimension-generic (``plan`` = sequence of (nloc, HaloSpec, coord-name),
     one per cell axis; arrays are (cap_c, *cells)).
@@ -263,11 +263,15 @@ def migrate_cells(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
                         jnp.where(out_lo, 4,
                                   jnp.where(alive, 2,
                                             jnp.where(parity, 1, 3))))
-        sorted_ops = lax.sort(
-            [key.astype(jnp.int32)] + [data[k] for k in names],
-            dimension=0, num_keys=1)
-        skey = sorted_ops[0]
-        sdata = dict(zip(names, sorted_ops[1:]))
+        if sort_fn is not None:
+            skey, spay = sort_fn(key.astype(jnp.int32),
+                                 [data[k] for k in names])
+        else:
+            sorted_ops = lax.sort(
+                [key.astype(jnp.int32)] + [data[k] for k in names],
+                dimension=0, num_keys=1)
+            skey, spay = sorted_ops[0], sorted_ops[1:]
+        sdata = dict(zip(names, spay))
 
         in_lo, val_lo = send(sdata, skey == 0, +1)
         in_hi, val_hi = send(sdata, skey == 4, -1)
@@ -299,12 +303,13 @@ def migrate_cells(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
 def migrate_cell_2d(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
                     specs: Tuple[HaloSpec, HaloSpec],
                     nx_loc: int, ny_loc: int, *,
-                    recompute_ig: bool = False, exact: bool = False):
+                    recompute_ig: bool = False, exact: bool = False,
+                    sort_fn=None):
     """2D overwrite-merge re-binning (see migrate_cells)."""
     return migrate_cells(
         data, alive,
         ((nx_loc, specs[0], "x"), (ny_loc, specs[1], "y")),
-        recompute_ig=recompute_ig, exact=exact)
+        recompute_ig=recompute_ig, exact=exact, sort_fn=sort_fn)
 
 
 def insert_cells(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,

@@ -173,11 +173,12 @@ def deposit_cell_3d(x, y, z, ux, uy, uz, inv_gamma, w, *, q: float,
 def migrate_cell_3d(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
                     specs: Tuple[HaloSpec, HaloSpec, HaloSpec],
                     nx_loc: int, ny_loc: int, nz_loc: int, *,
-                    recompute_ig: bool = False, exact: bool = False):
+                    recompute_ig: bool = False, exact: bool = False,
+                    sort_fn=None):
     """3D overwrite-merge re-binning (see cell2d.migrate_cells)."""
     from .cell2d import migrate_cells
     return migrate_cells(
         data, alive,
         ((nx_loc, specs[0], "x"), (ny_loc, specs[1], "y"),
          (nz_loc, specs[2], "z")),
-        recompute_ig=recompute_ig, exact=exact)
+        recompute_ig=recompute_ig, exact=exact, sort_fn=sort_fn)

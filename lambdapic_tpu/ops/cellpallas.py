@@ -512,3 +512,85 @@ def deposit_cell_3d_pallas(x, y, z, ux, uy, uz, inv_gamma, w, *, q: float,
     )(x, y, z, ux, uy, uz, inv_gamma, w)
 
     return _fold_xy(rims, nx, ny, g, bx, by)
+
+
+# ======================================================================
+# K3: slot-axis key sort for the migration re-binning
+# ======================================================================
+
+def _batcher_network(n: int, cap: int):
+    """Batcher odd-even mergesort compare-exchange list for n = 2^k slots,
+    skipping CEs whose upper index >= cap (virtual +inf entries)."""
+    ces = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        a, b = i + j, i + j + k
+                        if b < cap:
+                            ces.append((a, b))
+            k //= 2
+        p *= 2
+    return ces
+
+
+def sort_cells_pallas(key, payloads, block_m: int = 2048):
+    """Sort (key, *payloads) along axis 0 (the slot axis) independently
+    per trailing position — the pallas replacement for the migration's
+    multi-operand lax.sort (ops/cell2d.py::migrate_cells). The whole
+    sorting network runs on VMEM-resident blocks: HBM is touched once
+    per array instead of once per network stage.
+
+    key: (cap, *cells) int32; payloads: list of (cap, *cells) arrays.
+    Returns (sorted_key, [sorted payloads]) with the same shapes."""
+    cap = key.shape[0]
+    cells = key.shape[1:]
+    m = 1
+    for s in cells:
+        m *= s
+    n2 = 1
+    while n2 < cap:
+        n2 *= 2
+    ces = _batcher_network(n2, cap)
+
+    bm = block_m if m % block_m == 0 else m
+    nb = m // bm
+
+    def kernel(key_ref, *refs):
+        n_pay = len(payloads)
+        in_refs = refs[:n_pay]
+        out_refs = refs[n_pay:]
+        # rows held as separate (1, bm) values: compare-exchanges become
+        # pure selects (Mosaic has no scatter for .at[row].set)
+        rows_k = [key_ref[a:a + 1, :] for a in range(cap)]
+        rows_v = [[r[a:a + 1, :] for a in range(cap)] for r in in_refs]
+        for a, b in ces:
+            ka, kb = rows_k[a], rows_k[b]
+            swap = ka > kb
+            rows_k[a] = jnp.where(swap, kb, ka)
+            rows_k[b] = jnp.where(swap, ka, kb)
+            for vlist in rows_v:
+                va, vb = vlist[a], vlist[b]
+                vlist[a] = jnp.where(swap, vb, va)
+                vlist[b] = jnp.where(swap, va, vb)
+        out_refs[0][...] = jnp.concatenate(rows_k, axis=0)
+        for idx in range(n_pay):
+            out_refs[1 + idx][...] = jnp.concatenate(rows_v[idx], axis=0)
+
+    spec = pl.BlockSpec((cap, bm), lambda i: (0, i))
+    flat_key = key.reshape(cap, m)
+    flat_pay = [p.reshape(cap, m) for p in payloads]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[spec] * (1 + len(payloads)),
+        out_specs=[spec] * (1 + len(payloads)),
+        out_shape=[jax.ShapeDtypeStruct((cap, m), a.dtype)
+                   for a in [flat_key] + flat_pay],
+        interpret=_use_interpret(),
+    )(flat_key, *flat_pay)
+    return (outs[0].reshape(key.shape),
+            [o.reshape(key.shape) for o in outs[1:]])

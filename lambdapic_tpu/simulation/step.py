@@ -364,19 +364,25 @@ class StepBuilder:
             # reorder: positions are global, only the binning moves.
             cell_lost = jnp.int32(0)
             if cell_layout and self.switches["migration"]:
+                sort_fn = None
+                if use_pallas_cell and self.cell_migration != "exact":
+                    from ..ops.cellpallas import sort_cells_pallas
+                    sort_fn = sort_cells_pallas
                 if ndim == 2:
                     from ..ops.cell2d import migrate_cell_2d
                     data, alive, cell_lost = migrate_cell_2d(
                         data, alive, specs, nloc[0], nloc[1],
                         recompute_ig=(sp.pusher != "photon"),
-                        exact=(self.cell_migration == "exact"))
+                        exact=(self.cell_migration == "exact"),
+                        sort_fn=sort_fn)
                     pos = (data["x"], data["y"])
                 else:
                     from ..ops.cell3d import migrate_cell_3d
                     data, alive, cell_lost = migrate_cell_3d(
                         data, alive, specs, nloc[0], nloc[1], nloc[2],
                         recompute_ig=(sp.pusher != "photon"),
-                        exact=(self.cell_migration == "exact"))
+                        exact=(self.cell_migration == "exact"),
+                        sort_fn=sort_fn)
                     pos = (data["x"], data["y"], data["z"])
                 ux, uy, uz = data["ux"], data["uy"], data["uz"]
                 ig = data["inv_gamma"]
