@@ -126,9 +126,10 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu-fallback-size", type=int, default=128)
-    ap.add_argument("--tiling", type=str, default="16,16",
-                    help="'TX,TY' tile-binned dense path (laser-target "
-                         "only), or 'none'")
+    ap.add_argument("--tiling", type=str, default="cell",
+                    help="'cell' = cell-binned engine (default; pallas "
+                         "kernels on TPU), 'TX,TY' = tile-binned dense "
+                         "path, or 'none' = scatter path")
     ap.add_argument("--chunk", type=int, default=1,
                     help="fuse up to N steps per dispatch (lax.scan); "
                          "1 = per-step dispatch (pipelines fine through "
