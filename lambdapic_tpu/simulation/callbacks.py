@@ -43,8 +43,8 @@ DEFAULT_STAGE = "end"
 # per-species block (segment boundaries of the TPU step)
 HOST_STAGES = {"init", "start", "maxwell_1", "current_deposition",
                "qed_create_particles", "maxwell_2", "end", "final"}
-# inner stages (inside the fused particle block); host callbacks here force
-# the split species path — not yet implemented on TPU, jax callbacks only.
+# inner stages (inside the fused particle block); host callbacks here
+# force the split species path (one jitted sub-segment per stage)
 INNER_STAGES = {"_push_position_1", "_interpolator", "_qed",
                 "_push_momentum", "_push_position_2"}
 
@@ -132,11 +132,9 @@ class SimulationCallbacks:
             if getattr(cb, "is_jax_callback", False):
                 continue
             cb = as_callback(cb)
-            if cb.stage in INNER_STAGES:
-                raise NotImplementedError(
-                    f"host callbacks at inner stage '{cb.stage}' are not "
-                    "supported yet; use a JaxCallback or stage "
-                    f"{sorted(HOST_STAGES)}")
+            # host callbacks at inner stages force the split particle
+            # path (simulation.run), the analog of the reference
+            # disabling the unified pusher (simulation.py:896-911)
             self.by_stage[cb.stage].append(cb)
 
     def run(self, stage: str) -> None:

@@ -543,6 +543,7 @@ class Simulation:
         self._builder = builder
         self._rho_fns = {}
         self._multi_steps = {}
+        self._sub_segs = {}
         self._full_step_nm = None
         (self._full_step, self._seg1, self._seg2, self._seg3) = \
             builder.compile()
@@ -563,6 +564,10 @@ class Simulation:
         if stop_callback is not None:
             return 1
         if any(cbs.by_stage[s] for s in ("start", "maxwell_1",
+                                         "_push_position_1",
+                                         "_interpolator", "_qed",
+                                         "_push_momentum",
+                                         "_push_position_2",
                                          "current_deposition",
                                          "qed_create_particles",
                                          "maxwell_2", "end")):
@@ -574,7 +579,9 @@ class Simulation:
             for k in range(max_k):
                 shim.itime = self.itime + k
                 shim.time = self.time + k * self.dt
-                for s in ("start", "maxwell_1", "current_deposition",
+                for s in ("start", "maxwell_1", "_push_position_1",
+                          "_interpolator", "_qed", "_push_momentum",
+                          "_push_position_2", "current_deposition",
                           "qed_create_particles", "maxwell_2", "end"):
                     for cb in cbs.by_stage[s]:
                         try:
@@ -584,6 +591,18 @@ class Simulation:
                             return 1
             return max_k
         return max_k
+
+    def _get_sub_seg(self, sub: str):
+        """Jitted split-path sub-segment (cached per sub-stage)."""
+        if not hasattr(self, "_sub_segs"):
+            self._sub_segs = {}
+        if sub not in self._sub_segs:
+            from functools import partial
+            self._sub_segs[sub] = jax.jit(
+                partial(self._builder.seg_particles_sub,
+                        stages=frozenset({sub})),
+                donate_argnums=(0,))
+        return self._sub_segs[sub]
 
     def _full_step_nomigrate(self):
         if getattr(self, "_full_step_nm", None) is None:
@@ -684,10 +703,32 @@ class Simulation:
                     cbs.run("start")
 
                 sc = self._scalars(lasers)
+                INNER = (("p1", "_push_position_1"), ("interp", "_interpolator"),
+                         ("qed", "_qed"), ("mom", "_push_momentum"),
+                         ("p2", "_push_position_2"), ("deposit", None))
+                split_due = any(cbs.due(st) for _, st in INNER
+                                if st is not None)
                 inner_host = (cbs.due("maxwell_1")
                               or cbs.due("current_deposition")
                               or cbs.due("qed_create_particles"))
-                if not inner_host:
+                if split_due:
+                    # SPLIT particle path: one jitted sub-segment per
+                    # inner stage with host callbacks between (the
+                    # reference's non-unified pusher, simulation.py:896)
+                    with Timer("fields 1"):
+                        self.state = self._seg1(self.state, sc)
+                    cbs.run("maxwell_1")
+                    for sub, cbstage in INNER:
+                        with Timer(f"particles:{sub}"):
+                            self.state = self._get_sub_seg(sub)(
+                                self.state, sc)
+                        if cbstage is not None:
+                            cbs.run(cbstage)
+                    cbs.run("current_deposition")
+                    cbs.run("qed_create_particles")
+                    with Timer("fields 2"):
+                        self.state = self._seg3(self.state, sc)
+                elif not inner_host:
                     # tiled R-step re-binning: skip the migration sorts on
                     # steps that are not at the end of an R-block (the
                     # split path below always migrates — early re-binning

@@ -165,13 +165,24 @@ class StepBuilder:
         return self._smap(red, (self._p_stack,), self._p_stack)
 
     # ------------------------------------------------------------------
-    def make_species_block(self, ispec: int, migrate: bool = True
-                           ) -> Callable:
+    ALL_SUBSTAGES = frozenset(
+        {"p1", "interp", "qed", "mom", "p2", "deposit"})
+
+    def make_species_block(self, ispec: int, migrate: bool = True,
+                           stages: frozenset = ALL_SUBSTAGES) -> Callable:
         """Fused per-species particle stage (reference stage sequence
         «_push_position_1 .. current_deposition» plus migration,
         simulation.py:983-1077). ``migrate=False`` (tiled path only) skips
         the re-binning pass — legal for up to rebin_interval-1 consecutive
-        steps when the tile halo covers the accumulated drift."""
+        steps when the tile halo covers the accumulated drift.
+
+        ``stages`` restricts the block to a subset of the sub-stages
+        {p1, interp, qed, mom, p2, deposit} — the split path used when a
+        host callback occupies an inner stage (the analog of the
+        reference disabling the unified pusher, simulation.py:896-911).
+        Sub-segments communicate through the particle arrays themselves:
+        p1/p2 write the half-pushed positions back into data['x'...],
+        interp writes the gathered fields into data['ex_part'...]."""
         grid = self.grid
         sp = self.species[ispec]
         g = grid.n_guard
@@ -210,6 +221,7 @@ class StepBuilder:
                                and pallas_cell_ok(nloc, sp.tile_cap))
         else:
             use_pallas_cell = False
+        split = stages != self.ALL_SUBSTAGES
 
         def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
             lead = alive.shape[:ndim]        # (1,) * ndim device axes
@@ -231,13 +243,15 @@ class StepBuilder:
                 didx = didx * size + jax.lax.axis_index(name)
             key = jax.random.fold_in(key, didx)
 
-            push_on = self.switches["pusher"]
+            push_on = self.switches["pusher"] and (
+                "p1" in stages or "mom" in stages or "p2" in stages)
             # fused pallas path: pos/gather/Boris/pos in one VMEM-resident
             # kernel (ops/cellpallas.py). QED chi/events run AFTER it on
             # the pre-push momenta still held in ``data`` — order-
             # equivalent to the reference _interpolator -> _qed ->
             # _push_momentum sequence.
-            fused = (use_pallas_cell and push_on
+            fused = (not split and use_pallas_cell
+                     and self.switches["pusher"]
                      and self.switches["interpolation"]
                      and sp.pusher in ("boris", "boris+tbmt"))
             if fused:
@@ -276,7 +290,7 @@ class StepBuilder:
             ig = ig if fused else data["inv_gamma"]
             if fused:
                 pass
-            elif not push_on:
+            elif not (self.switches["pusher"] and "p1" in stages):
                 pos = (data["x"], data["y"]) if ndim == 2 else (
                     data["x"], data["y"], data["z"])
             elif ndim == 2:
@@ -291,7 +305,7 @@ class StepBuilder:
             # gather (reference stage _interpolator)
             if fused:
                 pass
-            elif self.switches["interpolation"]:
+            elif self.switches["interpolation"] and "interp" in stages:
                 if cell_layout and ndim == 2:
                     from ..ops.cell2d import gather_cell_2d
                     eb_p = gather_cell_2d(eb_pad, pos[0], pos[1], g)
@@ -316,7 +330,7 @@ class StepBuilder:
                               "bx_part", "by_part", "bz_part"))
 
             # QED chi update + event sampling (reference stage _qed)
-            if self.switches["qed"] and not fused:
+            if self.switches["qed"] and not fused and "qed" in stages:
                 for proc in qed:
                     data, alive = proc.update_chi_and_events(data, alive,
                                                              key, dt)
@@ -324,7 +338,7 @@ class StepBuilder:
             # momentum push (reference stage _push_momentum)
             if fused:
                 pass
-            elif not push_on:
+            elif not (self.switches["pusher"] and "mom" in stages):
                 ux, uy, uz = data["ux"], data["uy"], data["uz"]
                 ig = data["inv_gamma"]
             elif sp.pusher in ("boris", "boris+tbmt"):
@@ -341,7 +355,7 @@ class StepBuilder:
                 raise NotImplementedError(f"pusher {sp.pusher}")
 
             # position half push (reference stage _push_position_2)
-            if fused or not push_on:
+            if fused or not (self.switches["pusher"] and "p2" in stages):
                 pass
             elif ndim == 2:
                 x, y = push_position_2d(pos[0], pos[1], ux, uy, ig,
@@ -363,7 +377,8 @@ class StepBuilder:
             # (ops/cell2d.py module docstring). J is unchanged by the
             # reorder: positions are global, only the binning moves.
             cell_lost = jnp.int32(0)
-            if cell_layout and self.switches["migration"]:
+            if cell_layout and self.switches["migration"] \
+                    and "deposit" in stages:
                 sort_fn = None
                 if use_pallas_cell and self.cell_migration != "exact":
                     from ..ops.cellpallas import sort_cells_pallas
@@ -389,7 +404,8 @@ class StepBuilder:
 
             # Esirkepov deposition (reference stage current_deposition)
             w = jnp.where(alive, data["w"], 0.0)
-            if sp.q != 0.0 and self.switches["current_deposition"]:
+            if sp.q != 0.0 and self.switches["current_deposition"] \
+                    and "deposit" in stages:
                 if cell_layout and ndim == 2:
                     if use_pallas_cell:
                         from ..ops.cellpallas import \
@@ -430,7 +446,8 @@ class StepBuilder:
                 jpad = jnp.zeros((4,) + pshape, dtype=pos[0].dtype)
 
             # migration (reference patches.sync_particles + MPI variant)
-            if cell_layout or not self.switches["migration"]:
+            if cell_layout or not self.switches["migration"] \
+                    or "deposit" not in stages:
                 lost = cell_lost          # cell path re-bins above
             elif tile_cfg is not None and not migrate:
                 lost = jnp.int32(0)
@@ -983,6 +1000,42 @@ class StepBuilder:
         if jpad_total is not None:
             jred = self.make_reduce_j()(jpad_total)
             f = f.replace(jx=jred[0], jy=jred[1], jz=jred[2], rho=jred[3])
+        return state.replace(fields=f, particles=tuple(new_parts))
+
+    def seg_particles_sub(self, state: SimulationState, scalars,
+                          stages: frozenset) -> SimulationState:
+        """One sub-segment of the SPLIT particle path (host callbacks at
+        inner stages; the reference's non-unified pusher sequence,
+        simulation.py:993-1041). Sub-segments communicate through the
+        particle arrays (positions/gathered fields written back)."""
+        key = scalars.get("key", jax.random.PRNGKey(0))
+        particles = list(state.particles)
+        if "p1" in stages and self.collisions is not None \
+                and self.switches["collisions"]:
+            particles = self._apply_collisions(particles, key)
+
+        pad_eb = self.make_pad_eb()
+        f = state.fields
+        eb = jnp.stack([f.ex, f.ey, f.ez, f.bx, f.by, f.bz], axis=0)
+        eb_pad = pad_eb(eb)
+
+        jpad_total = None
+        new_parts: List[ParticlesState] = []
+        for ispec in range(len(self.species)):
+            block = self.make_species_block(ispec, stages=stages)
+            kspec = jax.random.fold_in(key, ispec)
+            pnew, jpad = block(eb_pad, particles[ispec], kspec)
+            new_parts.append(pnew)
+            jpad_total = jpad if jpad_total is None else jpad_total + jpad
+
+        if "deposit" in stages:
+            if self.switches["qed"]:
+                for proc in self.qed_processes:
+                    new_parts = self._apply_qed_creation(proc, new_parts)
+            if jpad_total is not None:
+                jred = self.make_reduce_j()(jpad_total)
+                f = f.replace(jx=jred[0], jy=jred[1], jz=jred[2],
+                              rho=jred[3])
         return state.replace(fields=f, particles=tuple(new_parts))
 
     def seg_fields_2(self, state: SimulationState, scalars) -> SimulationState:
