@@ -48,7 +48,18 @@ def calculate_chi(ex_p, ey_p, ez_p, bx_p, by_p, bz_p, ux, uy, uz, inv_gamma):
 
 @dataclass(frozen=True)
 class _Tables:
-    """Device copies of the optical-depth tables."""
+    """Device copies of the optical-depth tables + Chebyshev surrogates.
+
+    TPU addendum: the reference samples by bisecting the cumulative
+    table with per-particle gathers (optical_depth.py:36-130) — XLA
+    gathers run at ~1e8 elem/s on TPU, which made the QED stage seconds
+    per step. The tables are smooth Airy-integral functions, so the hot
+    path instead evaluates Chebyshev fits (pure VPU, no gathers):
+    log10(total rate) vs log10(chi) to ~1e-5, and the r-uniform inverse
+    CDF as a 2D fit (log-delta space for photons, ~3e-5; delta space for
+    pairs, ~6e-4 — the pair log-CDF is step-like near threshold). The
+    exact table path remains for validation (sample_mode='table').
+    """
 
     total: jnp.ndarray          # (chi_N,)
     cumulative: jnp.ndarray     # (chi_N, delta_N)
@@ -59,6 +70,42 @@ class _Tables:
     log_delta_delta: float
     chi_N: int
     delta_N: int
+    # Chebyshev surrogates (see class docstring)
+    rate_coef: jnp.ndarray      # (deg+1,) log10(rate) vs scaled log_chi
+    rate_c0: float              # fit domain [rate_c0, log_chi_max]
+    inv_coef: jnp.ndarray       # (degc+1, degr+1) inverse CDF fit
+    inv_c0: float               # chi-domain start of the inverse fit
+    inv_log_space: bool         # fit is log10(delta) (photon) or delta
+
+
+def _fit_tables(total, cum, lo, hi, dlo, dhi, log_space,
+                deg_rate=24, degc=16, degr=32):
+    """Host-side Chebyshev fits of the rate and r-uniform inverse CDF."""
+    from numpy.polynomial import chebyshev as C
+    N, M = cum.shape
+    cgrid = np.linspace(lo, hi, N)
+    nz = total > total.max() * 1e-12
+    i0 = int(nz.argmax())
+    cs = cgrid[i0:]
+    cc = 2 * (cs - cs[0]) / (hi - cs[0]) - 1
+    rate_coef = C.chebfit(cc, np.log10(np.maximum(total[i0:], 1e-300)),
+                          deg_rate)
+
+    ld = np.linspace(dlo, dhi, M)
+    r_grid = np.linspace(0, 1, 513)
+    inv = np.zeros((N - i0, r_grid.size))
+    for i in range(i0, N):
+        y = cum[i]
+        y = (y - y[0]) / max(y[-1] - y[0], 1e-300)
+        y = np.maximum.accumulate(y)
+        v = np.interp(r_grid, y, ld)
+        inv[i - i0] = v if log_space else 10.0 ** v
+    w = np.arcsin(2 * r_grid - 1) / (np.pi / 2)
+    V1 = C.chebvander(cc, degc)
+    V2 = C.chebvander(w, degr)
+    A = np.linalg.lstsq(V1, inv, rcond=None)[0]
+    B = np.linalg.lstsq(V2, A.T, rcond=None)[0].T    # (degc+1, degr+1)
+    return rate_coef, float(cs[0]), B
 
 
 def _make_tables(kind: str, dtype) -> _Tables:
@@ -66,7 +113,12 @@ def _make_tables(kind: str, dtype) -> _Tables:
     key_total = f"{kind}_prob_rate_total"
     key_cum = f"integral_{kind}_prob_along_delta"
     lo, hi = [float(v) for v in t["log_chi_range"]]
-    dlo, _ = [float(v) for v in t["log_delta_range"]]
+    dlo, dhi = [float(v) for v in t["log_delta_range"]]
+    total_np = np.asarray(t[key_total], np.float64)
+    cum_np = np.asarray(t[key_cum], np.float64)
+    log_space = kind == "photon"
+    rate_coef, c0, inv_coef = _fit_tables(total_np, cum_np, lo, hi, dlo,
+                                          dhi, log_space)
     return _Tables(
         total=jnp.asarray(t[key_total], dtype),
         cumulative=jnp.asarray(t[key_cum], dtype),
@@ -75,12 +127,28 @@ def _make_tables(kind: str, dtype) -> _Tables:
         log_delta_min=dlo,
         log_delta_delta=float(t["log_delta_delta"]),
         chi_N=int(t["chi_N"]), delta_N=int(t["delta_N"]),
+        rate_coef=jnp.asarray(rate_coef, dtype),
+        rate_c0=c0,
+        inv_coef=jnp.asarray(inv_coef, dtype),
+        inv_c0=c0,
+        inv_log_space=log_space,
     )
 
 
-def _total_rate(chi, tb: _Tables):
+def _clenshaw(x, coef):
+    """Chebyshev series evaluation; coef entries may be scalars or
+    broadcastable arrays."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for k in range(len(coef) - 1, 0, -1):
+        b1, b2 = 2 * x * b1 - b2 + coef[k], b1
+    return x * b1 - b2 + coef[0]
+
+
+def _total_rate_table(chi, tb: _Tables):
     """Linear interpolation of the total event rate in log10(chi)
-    (reference optical_depth_tables.py:44-54): 0 below the table range."""
+    (reference optical_depth_tables.py:44-54): 0 below the table range.
+    Validation path — per-particle gathers are slow on TPU."""
     log_chi = jnp.log10(jnp.maximum(chi, 1e-30))
     grid = tb.log_chi_min + tb.log_chi_delta * jnp.arange(
         tb.chi_N, dtype=chi.dtype)
@@ -88,10 +156,40 @@ def _total_rate(chi, tb: _Tables):
     return jnp.where(log_chi >= tb.log_chi_min, rate, 0.0)
 
 
+def _total_rate(chi, tb: _Tables):
+    """Chebyshev surrogate of the total event rate (gather-free; see
+    _Tables docstring). Matches the table to ~1e-5 relative within the
+    fit domain; clamps to the domain edges outside (below the fit start
+    the rate is < 1e-12 of max -> treated as 0, matching the reference's
+    below-range behavior)."""
+    log_chi = jnp.log10(jnp.maximum(chi, 1e-30))
+    cc = 2 * (log_chi - tb.rate_c0) / (tb.log_chi_max - tb.rate_c0) - 1
+    rate = jnp.power(10.0, _clenshaw(jnp.clip(cc, -1.0, 1.0),
+                                     tb.rate_coef))
+    lo_cut = max(tb.log_chi_min, tb.rate_c0)
+    return jnp.where(log_chi >= lo_cut, rate, 0.0)
+
+
 def _sample_delta(chi, r01, tb: _Tables):
+    """Sample the energy fraction delta from the Chebyshev inverse-CDF
+    surrogate (gather-free; see _Tables docstring): delta =
+    F^-1(log_chi, r) with arcsine-warped r for edge resolution."""
+    log_chi = jnp.log10(jnp.maximum(chi, 1e-30))
+    cc = jnp.clip(2 * (log_chi - tb.inv_c0)
+                  / (tb.log_chi_max - tb.inv_c0) - 1, -1.0, 1.0)
+    w = jnp.arcsin(2 * jnp.clip(r01, 0.0, 1.0) - 1) / (jnp.pi / 2)
+    a_rows = [_clenshaw(w, tb.inv_coef[k])
+              for k in range(tb.inv_coef.shape[0])]
+    val = _clenshaw(cc, a_rows)
+    if tb.inv_log_space:
+        return jnp.power(10.0, jnp.minimum(val, 0.0))
+    return jnp.clip(val, 10.0 ** tb.log_delta_min, 1.0)
+
+
+def _sample_delta_table(chi, r01, tb: _Tables):
     """Sample the energy fraction delta by bisecting the chi-interpolated
     cumulative table (reference optical_depth_tables.py:57-90), vectorized
-    with a fixed-depth binary search."""
+    with a fixed-depth binary search. Validation path (slow on TPU)."""
     log_chi = jnp.log10(jnp.maximum(chi, 1e-30))
     fidx = (log_chi - tb.log_chi_min) / tb.log_chi_delta
     chi_idx = jnp.clip(jnp.floor(fidx).astype(jnp.int32), 0, tb.chi_N - 2)

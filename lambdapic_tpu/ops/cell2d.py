@@ -333,8 +333,14 @@ def insert_cells(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
     vi = valid.astype(jnp.int32)
     intra = jnp.cumsum(vi, axis=0) - vi                # exclusive, per cell
     counts = jnp.sum(vi, axis=0)                       # (*cells,)
-    flat = counts.reshape(-1)
-    base = (jnp.cumsum(flat) - flat).reshape(counts.shape)
+    # hierarchical exclusive prefix over cells: row-wise cumsum + a short
+    # 1D scan over row totals (a full-length 1D cumsum over nx*ny(*nz)
+    # elements is pathological on TPU — lane-padded serial scan)
+    c2 = counts.reshape(counts.shape[0], -1)
+    row_incl = jnp.cumsum(c2, axis=1)
+    row_tot = row_incl[:, -1]
+    row_base = jnp.cumsum(row_tot) - row_tot
+    base = (row_base[:, None] + row_incl - c2).reshape(counts.shape)
     rank = base[None] + intra
     ids = next_id + rank.astype(jnp.uint32)
 
