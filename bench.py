@@ -39,7 +39,8 @@ def build(config, args):
     import math
     n_guard = 3 if rebin <= 1 else 2 + math.ceil(rebin * 0.95 / 2**0.5)
     tiled_kw = dict(tiling=tiling, rebin_interval=rebin, n_guard=n_guard,
-                    particle_capacity_factor=args.capacity_factor)
+                    particle_capacity_factor=args.capacity_factor,
+                    cell_migration=args.migration)
     cbs = []
 
     if config == "laser-target":
@@ -137,6 +138,9 @@ def main():
     ap.add_argument("--rebin", type=int, default=4,
                     help="tiled re-binning interval (migration every R "
                          "steps; widens the tile halo accordingly)")
+    ap.add_argument("--migration", type=str, default="fast",
+                    choices=["fast", "exact"],
+                    help="cell-engine re-binning scheme")
     ap.add_argument("--capacity-factor", type=float, default=1.6,
                     help="slot headroom over initial max occupancy "
                          "(cell/tiled layouts); overflow losses are "
