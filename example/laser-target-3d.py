@@ -53,6 +53,7 @@ laser = GaussianLaser3D(
 )
 
 sim = Simulation3D(
+    tiling="cell",          # cell-binned TPU engine (pallas kernels)
     nx=nx, ny=ny, nz=nz,
     dx=dx, dy=dy, dz=dz,
     nsteps=1001,

@@ -53,6 +53,7 @@ laser = GaussianLaser2D(
 )
 
 sim = Simulation(
+    tiling="cell",          # cell-binned TPU engine (pallas kernels)
     nx=nx,
     ny=ny,
     dx=dx,

@@ -52,6 +52,7 @@ laser = SimpleLaser2D(a0=2, w0=5e-6, l0=0.8e-6, ctau=5e-6)
 ne = 0.01 * nc
 
 sim = Simulation(
+    tiling="cell",          # cell-binned TPU engine (pallas kernels)
     nx=nx,
     ny=ny,
     dx=dx,

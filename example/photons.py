@@ -42,6 +42,7 @@ def density(n0):
 laser = SimpleLaser2D(a0=300, w0=2e-6, l0=0.8e-6, ctau=5e-6)
 
 sim = Simulation(
+    tiling="cell",          # cell-binned TPU engine (pallas kernels)
     nx=nx,
     ny=ny,
     dx=dx,

@@ -43,7 +43,8 @@ def density(x, y):
 ele = Electron(density=density, ppc=4)
 pro = Proton(density=density, ppc=4)
 
-sim = Simulation(nx=nx, ny=ny, dx=dx, dy=dy, nsteps=501,
+sim = Simulation(
+    tiling="cell",          # cell-binned TPU engine (pallas kernels)nx=nx, ny=ny, dx=dx, dy=dy, nsteps=501,
                  log_file="species-resolved.log")
 sim.add_species([ele, pro])
 
