@@ -11,8 +11,9 @@ import bench as B
 
 
 def run_case(label, steps=15, **switches):
-    args = types.SimpleNamespace(nx=768, ny=768, ppc=8, tiling="cell",
-                                 rebin=1, steps=steps, warmup=2, chunk=1)
+    args = types.SimpleNamespace(nx=768, ny=768, ppc=10, tiling="cell",
+                                 rebin=1, steps=steps, warmup=2, chunk=1,
+                                 capacity_factor=1.6, migration="fast")
     sim, cbs = B.build("laser-target", args)
     for k, v in switches.items():
         sim.set_enabled(k, v)

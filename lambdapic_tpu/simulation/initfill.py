@@ -247,7 +247,10 @@ def bin_cells(arrays: Dict[str, np.ndarray], counts: np.ndarray,
         slot = np.arange(n) - np.searchsorted(fs, fs, side="left")
         occ_max = max(occ_max, int(slot.max()) + 1 if n else 0)
         binned[dev] = (order, fs, slot)
-    auto = max(8, int(np.ceil(occ_max * factor / 8) * 8))
+    # cap is the LEADING axis of the slot arrays (vregs tile the trailing
+    # cell dims), so any even value works without padding waste; even for
+    # the migration sort's dead-slot parity split
+    auto = max(4, int(np.ceil(occ_max * factor / 2) * 2))
     cap_c = auto if cap_c is None else max(cap_c, auto)   # cap_c = floor
 
     out = {k: np.zeros(mshape + (cap_c,) + nloc, dtype=v.dtype)

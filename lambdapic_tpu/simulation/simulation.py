@@ -337,8 +337,8 @@ class Simulation:
                     ncells = int(np.prod(
                         (self.grid.nx_loc, self.grid.ny_loc,
                          self.grid.nz_loc)[:self.dimension]))
-                    cap_c = max(8, int(np.ceil(
-                        sp.capacity / ncells / 8) * 8))
+                    cap_c = max(4, int(np.ceil(
+                        sp.capacity / ncells / 2) * 2))
                 arrays, alive_np, tile_cap = bin_cells(
                     arrays, counts, self.grid,
                     factor=self._config.particle_capacity_factor,

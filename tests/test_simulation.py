@@ -101,15 +101,18 @@ def test_callback_stages_and_intervals():
     assert calls["cond"] == 1
 
 
-def test_inner_stage_host_callback_rejected():
+def test_inner_stage_host_callback_takes_split_path():
+    """Inner-stage host callbacks run via the split particle path
+    (tests/test_inner_stage_callbacks.py covers path parity)."""
     sim = make_laser_target()
+    calls = []
 
     @callback(stage="_interpolator")
-    def bad(s):
-        pass
+    def probe(s):
+        calls.append(s.itime)
 
-    with pytest.raises(NotImplementedError):
-        sim.run(nsteps=1, callbacks=[bad])
+    sim.run(nsteps=2, callbacks=[probe])
+    assert calls == [0, 1]
 
 
 def test_charge_conservation_full_sim():
