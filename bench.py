@@ -124,8 +124,8 @@ def main():
     ap.add_argument("--ny", type=int, default=768)
     ap.add_argument("--ppc", type=int, default=10,
                 help="particles/cell (reference example/laser-target.py:64 uses 10)")
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--warmup", type=int, default=6)
     ap.add_argument("--cpu-fallback-size", type=int, default=128)
     ap.add_argument("--tiling", type=str, default="cell",
                     help="'cell' = cell-binned engine (default; pallas "
@@ -175,6 +175,8 @@ def main():
     # device-to-host read for ground truth
     _ = np.asarray(sim.state.fields.ey).ravel()[0]
     elapsed = time.perf_counter() - t0
+    import jax.numpy as jnp
+    finite = bool(np.asarray(jnp.isfinite(sim.state.fields.ey).all()))
 
     steps_per_sec = args.steps / elapsed
     if args.config == "vacuum":
@@ -199,7 +201,7 @@ def main():
         "backend": jax.default_backend(),
         "config": args.config, "npart": int(npart),
         "steps_per_sec": float(f"{steps_per_sec:.4g}"),
-        "tiling": args.tiling, "lost": lost,
+        "tiling": args.tiling, "lost": lost, "ey_finite": finite,
         "lost_frac_per_step": float(f"{lost / max(npart, 1) / max(args.steps + args.warmup, 1):.3g}"),
     }
     print(json.dumps(result))

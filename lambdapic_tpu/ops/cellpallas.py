@@ -537,27 +537,38 @@ def _batcher_network(n: int, cap: int):
     return ces
 
 
-def sort_cells_pallas(key, payloads, block_m: int = 2048):
+def sort_cells_pallas(key, payloads):
     """Sort (key, *payloads) along axis 0 (the slot axis) independently
     per trailing position — the pallas replacement for the migration's
     multi-operand lax.sort (ops/cell2d.py::migrate_cells). The whole
     sorting network runs on VMEM-resident blocks: HBM is touched once
-    per array instead of once per network stage.
+    per array instead of once per network stage. Blocks tile the CELL
+    dims directly (no flatten — collapsing the tiled trailing dims
+    would force a physical relayout of every payload).
 
     key: (cap, *cells) int32; payloads: list of (cap, *cells) arrays.
     Returns (sorted_key, [sorted payloads]) with the same shapes."""
     cap = key.shape[0]
     cells = key.shape[1:]
-    m = 1
-    for s in cells:
-        m *= s
     n2 = 1
     while n2 < cap:
         n2 *= 2
     ces = _batcher_network(n2, cap)
 
-    bm = block_m if m % block_m == 0 else m
-    nb = m // bm
+    if len(cells) == 2:
+        bx, by = _blocks2(*cells)
+        grid = (cells[0] // bx, cells[1] // by)
+        block = (cap, bx, by)
+        imap = lambda i, j: (0, i, j)
+    elif len(cells) == 3:
+        bx, by = _blocks3(cells[0], cells[1])
+        grid = (cells[0] // bx, cells[1] // by)
+        block = (cap, bx, by, cells[2])
+        imap = lambda i, j: (0, i, j, 0)
+    else:
+        grid = (1,)
+        block = (cap,) + tuple(cells)
+        imap = lambda i: (0,) * (1 + len(cells))
 
     def kernel(key_ref, *refs):
         n_pay = len(payloads)
@@ -580,17 +591,14 @@ def sort_cells_pallas(key, payloads, block_m: int = 2048):
         for idx in range(n_pay):
             out_refs[1 + idx][...] = jnp.concatenate(rows_v[idx], axis=0)
 
-    spec = pl.BlockSpec((cap, bm), lambda i: (0, i))
-    flat_key = key.reshape(cap, m)
-    flat_pay = [p.reshape(cap, m) for p in payloads]
+    spec = pl.BlockSpec(block, imap)
     outs = pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=grid,
         in_specs=[spec] * (1 + len(payloads)),
         out_specs=[spec] * (1 + len(payloads)),
-        out_shape=[jax.ShapeDtypeStruct((cap, m), a.dtype)
-                   for a in [flat_key] + flat_pay],
+        out_shape=[jax.ShapeDtypeStruct(key.shape, a.dtype)
+                   for a in [key] + list(payloads)],
         interpret=_use_interpret(),
-    )(flat_key, *flat_pay)
-    return (outs[0].reshape(key.shape),
-            [o.reshape(key.shape) for o in outs[1:]])
+    )(key, *payloads)
+    return outs[0], list(outs[1:])
