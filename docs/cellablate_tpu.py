@@ -10,11 +10,17 @@ import jax
 import bench as B
 
 
+CONFIG = os.environ.get("ABL_CONFIG", "laser-target")
+
+
 def run_case(label, steps=15, **switches):
     args = types.SimpleNamespace(nx=768, ny=768, ppc=10, tiling="cell",
                                  rebin=1, steps=steps, warmup=2, chunk=1,
                                  capacity_factor=1.6, migration="fast")
-    sim, cbs = B.build("laser-target", args)
+    if CONFIG == "laser-target-3d":
+        args.nx = 512          # build() maps to n3 = 128
+        args.ppc = 8
+    sim, cbs = B.build(CONFIG, args)
     for k, v in switches.items():
         sim.set_enabled(k, v)
     sim.run(nsteps=2, callbacks=cbs)

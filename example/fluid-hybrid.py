@@ -118,7 +118,8 @@ beam = Electron(name="beam", density=beam_density, ppc=10)
 ions = Proton(density=lambda x, y: n_bg + beam_density(x, y), ppc=2)
 
 sim = Simulation(
-    tiling="cell",          # cell-binned TPU engine (pallas kernels)nx=nx, ny=ny, dx=dx, dy=dy, nsteps=1001,
+    tiling="cell",          # cell-binned TPU engine (pallas kernels)
+                 nx=nx, ny=ny, dx=dx, dy=dy, nsteps=1001,
                  log_file="fluid-hybrid.log")
 sim.add_species([beam, ions])
 

@@ -44,7 +44,8 @@ ele = Electron(density=density, ppc=4)
 pro = Proton(density=density, ppc=4)
 
 sim = Simulation(
-    tiling="cell",          # cell-binned TPU engine (pallas kernels)nx=nx, ny=ny, dx=dx, dy=dy, nsteps=501,
+    tiling="cell",          # cell-binned TPU engine (pallas kernels)
+                 nx=nx, ny=ny, dx=dx, dy=dy, nsteps=501,
                  log_file="species-resolved.log")
 sim.add_species([ele, pro])
 

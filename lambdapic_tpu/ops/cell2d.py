@@ -23,13 +23,18 @@ ppermute, reusing the tiled machinery) plus a slot-axis merge sort over
 
 Numerical contract identical to ops/interpolation.py::gather_eb_2d and
 ops/deposition.py::deposit_2d (reference interpolation/cpu2d.c:7-154,
-current_deposit.h:7-203). Offsets: integer taps live on {-1,0,1}, half
-taps on {-2,...,1} (<=3 nonzero). Deposit REQUIRES freshly re-binned
-particles (migrate_cell_2d runs before deposit in the step): with the
-post-push delta in [-0.5, 0.5) the deposited segment endpoints
-delta -+ v/2 stay within +-(0.5 + CFL/2) < 1.5 - 0.5, so both S0 and S1
-taps live on {-2,...,2} — a 5x5 offset loop (vs 7x7 for the pre-rebin
-formulation), covered by n_guard >= 2.
+current_deposit.h:7-203). BINNING CONTRACT: particles are re-binned at
+the MID-step position (the step runs pos-half -> migrate -> gather ->
+Boris -> pos-half -> deposit). Then
+- gather deltas lie in [-0.5, 0.5): integer taps {-1,0,1} and half
+  taps {-2,...,1} (<=3 nonzero) are exact — wider deltas would shift
+  the nearest node and need a 5-tap stencil;
+- deposit sees stored (post-push) positions whose segment endpoints
+  delta -+ v/2 are [mid] in [-0.5,0.5) and [mid+v] within
+  +-(0.5 + CFL) < 1.5, so both S0 and S1 taps live on {-2,...,2} — a
+  5x5 offset loop covered by n_guard >= 2;
+- open-boundary absorption happens BEFORE a particle's push+deposit,
+  so an exiting particle's final half-step current is never dropped.
 
 Known limitation (why this is not yet the default engine): per-cell
 capacity overflows under strong local compression; overflow is counted,

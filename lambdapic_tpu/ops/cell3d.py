@@ -11,10 +11,10 @@ have no hardware gather/scatter). Numerical contract identical to
 ops/interpolation.py::gather_eb_3d and ops/deposition.py::deposit_3d
 (reference interpolation/cpu3d.c, current_deposit.h:275-440).
 
-Deposit REQUIRES freshly re-binned particles (migrate_cell_3d runs
-before deposit in the step): with the post-push delta in [-0.5, 0.5)
-both segment endpoints delta -+ v/2 stay within +-(0.5 + CFL/2) < 1,
-so S0 and S1 taps live on {-2,...,2} per axis (n_guard >= 2).
+BINNING CONTRACT (see ops/cell2d.py): particles are re-binned at the
+MID-step position, so gather deltas lie in [-0.5, 0.5) (3/4-tap
+stencils exact) and the deposit's segment endpoints stay within the
+5-tap {-2,...,2} stencil per axis (n_guard >= 2).
 
 The per-offset loop hoists the (oy, oz) pair products out of the ox
 loop so each of the 125 offsets costs one multiply + one slot-reduce per

@@ -178,13 +178,16 @@ def _fold_xy(rims, nx, ny, g, bx, by):
 
 def fused_push_cell_2d(eb_pad, x, y, ux, uy, uz, *, q: float, m: float,
                        dt: float, dx: float, dy: float, g: int,
-                       want_eb: bool = False):
+                       want_eb: bool = False, do_pos1: bool = True):
     """Returns (x', y', ux', uy', uz', ig'[, 6 gathered components]).
 
     eb_pad (6, nx+2g, ny+2g); particle arrays (cap, nx, ny) in
     device-local cell coordinates, freshly re-binned (delta in
-    [-0.5, 0.5) before the half push). inv_gamma is recomputed from u
-    (the migrate/sanitize invariants make this bitwise-consistent)."""
+    [-0.5, 0.5)). With ``do_pos1=False`` the positions are ALREADY at
+    the mid-step point (the step does pos-half + re-bin in XLA first,
+    so the gather deltas stay within the 3/4-tap stencils). inv_gamma
+    is recomputed from u (the migrate/sanitize invariants make this
+    bitwise-consistent)."""
     cap, nx, ny = x.shape
     dtype = x.dtype
     bx, by = _blocks2(nx, ny)
@@ -204,8 +207,11 @@ def fused_push_cell_2d(eb_pad, x, y, ux, uy, uz, *, q: float, m: float,
         uyb = uy_ref[...]
         uzb = uz_ref[...]
         ig = 1.0 / jnp.sqrt(1.0 + uxb**2 + uyb**2 + uzb**2)
-        xm = xb + (0.5 * cdt_x) * uxb * ig
-        ym = yb + (0.5 * cdt_y) * uyb * ig
+        if do_pos1:
+            xm = xb + (0.5 * cdt_x) * uxb * ig
+            ym = yb + (0.5 * cdt_y) * uyb * ig
+        else:
+            xm, ym = xb, yb
 
         shp = (cap, bx, by)
         ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
@@ -342,8 +348,9 @@ def deposit_cell_2d_pallas(x, y, ux, uy, uz, inv_gamma, w, *, q: float,
 
 def fused_push_cell_3d(eb_pad, x, y, z, ux, uy, uz, *, q: float, m: float,
                        dt: float, dx: float, dy: float, dz: float, g: int,
-                       want_eb: bool = False):
-    """3D fused pos/gather/Boris/pos: blocks over (x, y), z whole."""
+                       want_eb: bool = False, do_pos1: bool = True):
+    """3D fused [pos/]gather/Boris/pos: blocks over (x, y), z whole.
+    See fused_push_cell_2d for the do_pos1 contract."""
     cap, nx, ny, nz = x.shape
     dtype = x.dtype
     bx, by = _blocks3(nx, ny)
@@ -368,9 +375,12 @@ def fused_push_cell_3d(eb_pad, x, y, z, ux, uy, uz, *, q: float, m: float,
         xb, yb, zb = x_ref[...], y_ref[...], z_ref[...]
         uxb, uyb, uzb = ux_ref[...], uy_ref[...], uz_ref[...]
         ig = 1.0 / jnp.sqrt(1.0 + uxb**2 + uyb**2 + uzb**2)
-        xm = xb + (0.5 * cdt[0]) * uxb * ig
-        ym = yb + (0.5 * cdt[1]) * uyb * ig
-        zm = zb + (0.5 * cdt[2]) * uzb * ig
+        if do_pos1:
+            xm = xb + (0.5 * cdt[0]) * uxb * ig
+            ym = yb + (0.5 * cdt[1]) * uyb * ig
+            zm = zb + (0.5 * cdt[2]) * uzb * ig
+        else:
+            xm, ym, zm = xb, yb, zb
 
         shp = (cap, bx, by, nz)
         ix = (lax.broadcasted_iota(jnp.int32, shp, 1) + i * bx).astype(dtype)

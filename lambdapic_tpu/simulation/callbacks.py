@@ -44,9 +44,14 @@ DEFAULT_STAGE = "end"
 HOST_STAGES = {"init", "start", "maxwell_1", "current_deposition",
                "qed_create_particles", "maxwell_2", "end", "final"}
 # inner stages (inside the fused particle block); host callbacks here
-# force the split species path (one jitted sub-segment per stage)
-INNER_STAGES = {"_push_position_1", "_interpolator", "_qed",
-                "_push_momentum", "_push_position_2"}
+# force the split species path (one jitted sub-segment per stage).
+# (sub-segment key, callback stage) in execution order; the final
+# "deposit" sub-segment has no inner callback stage of its own
+# (current_deposition is a boundary stage run right after it).
+INNER_SUBSTAGES = (("p1", "_push_position_1"), ("interp", "_interpolator"),
+                   ("qed", "_qed"), ("mom", "_push_momentum"),
+                   ("p2", "_push_position_2"), ("deposit", None))
+INNER_STAGES = {st for _, st in INNER_SUBSTAGES if st is not None}
 
 Interval = Union[int, float, TCallable, None]
 

@@ -35,7 +35,8 @@ from ..parallel import mesh as pmesh
 from ..utils.logger import configure_logger, logger
 from ..utils.timer import Timer, set_timer_enabled
 from ..utils.progress import ProgressBar
-from .callbacks import (DEFAULT_STAGE, HOST_STAGES, STAGES, JaxCallback,
+from .callbacks import (DEFAULT_STAGE, HOST_STAGES, INNER_STAGES,
+                        INNER_SUBSTAGES, STAGES, JaxCallback,
                         SimulationCallbacks)
 from .initfill import count_macro_particles, fill_species, pick_capacity
 from .step import SpeciesStatic, StepBuilder
@@ -241,9 +242,14 @@ class Simulation:
 
     def set_enabled(self, component: str, enabled: bool = True):
         """Runtime operator toggle (reference EnableMixin,
-        core/utils/enable_mixin.py:4-38): component in {'maxwell', 'pusher',
-        'interpolation', 'current_deposition', 'qed', 'collisions'}.
-        Takes effect on the next run() (recompiles the step)."""
+        core/utils/enable_mixin.py:4-38): component in {'maxwell',
+        'pusher', 'interpolation', 'current_deposition', 'qed',
+        'collisions', 'migration'}. Takes effect on the next run()
+        (recompiles the step).
+
+        Warning: disabling 'migration' under the cell engine breaks the
+        home-binning contract (deltas grow without bound and shape
+        weights decay to zero) — it exists for timing ablations only."""
         valid = {"maxwell", "pusher", "interpolation", "current_deposition",
                  "qed", "collisions", "migration"}
         if component not in valid:
@@ -563,14 +569,10 @@ class Simulation:
         be fused into one scanned kernel."""
         if stop_callback is not None:
             return 1
-        if any(cbs.by_stage[s] for s in ("start", "maxwell_1",
-                                         "_push_position_1",
-                                         "_interpolator", "_qed",
-                                         "_push_momentum",
-                                         "_push_position_2",
-                                         "current_deposition",
-                                         "qed_create_particles",
-                                         "maxwell_2", "end")):
+        if any(cbs.by_stage[s] for s in
+               ("start", "maxwell_1", "current_deposition",
+                "qed_create_particles", "maxwell_2", "end")
+               + tuple(sorted(INNER_STAGES))):
             # conservative: simulate the trigger check per step
             class _Shim:
                 pass
@@ -579,10 +581,9 @@ class Simulation:
             for k in range(max_k):
                 shim.itime = self.itime + k
                 shim.time = self.time + k * self.dt
-                for s in ("start", "maxwell_1", "_push_position_1",
-                          "_interpolator", "_qed", "_push_momentum",
-                          "_push_position_2", "current_deposition",
-                          "qed_create_particles", "maxwell_2", "end"):
+                for s in (("start", "maxwell_1", "current_deposition",
+                           "qed_create_particles", "maxwell_2", "end")
+                          + tuple(sorted(INNER_STAGES))):
                     for cb in cbs.by_stage[s]:
                         try:
                             if cb._interval_triggered(shim):
@@ -703,9 +704,7 @@ class Simulation:
                     cbs.run("start")
 
                 sc = self._scalars(lasers)
-                INNER = (("p1", "_push_position_1"), ("interp", "_interpolator"),
-                         ("qed", "_qed"), ("mom", "_push_momentum"),
-                         ("p2", "_push_position_2"), ("deposit", None))
+                INNER = INNER_SUBSTAGES
                 split_due = any(cbs.due(st) for _, st in INNER
                                 if st is not None)
                 inner_host = (cbs.due("maxwell_1")
@@ -817,6 +816,16 @@ class Simulation:
                     grid.mesh_shape)
                 dev_off = np.unravel_index(idx, grid.mesh_shape)[ax]
                 a = (a + dev_off[..., None] * nloc) * d
+                # cell engine: stored positions can trail the mid-step
+                # re-binning by up to CFL/2 cells, so seam particles may
+                # sit marginally past a periodic edge until the next
+                # re-bin; report them wrapped into the domain (the
+                # reference syncs before the end stage, so its dumps are
+                # always in-range)
+                if self.grid.periodic(("x", "y", "z")[ax]):
+                    L = (self.nx, self.ny,
+                         getattr(self, "nz", 0))[ax] * d
+                    a = (a + 0.5 * d) % L - 0.5 * d
                 if k == "x":
                     a = a + self._window_offset * grid.dx
             out[k] = a.reshape(-1)[alive]

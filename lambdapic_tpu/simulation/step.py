@@ -243,34 +243,96 @@ class StepBuilder:
                 didx = didx * size + jax.lax.axis_index(name)
             key = jax.random.fold_in(key, didx)
 
-            push_on = self.switches["pusher"] and (
-                "p1" in stages or "mom" in stages or "p2" in stages)
-            # fused pallas path: pos/gather/Boris/pos in one VMEM-resident
-            # kernel (ops/cellpallas.py). QED chi/events run AFTER it on
-            # the pre-push momenta still held in ``data`` — order-
-            # equivalent to the reference _interpolator -> _qed ->
-            # _push_momentum sequence.
+            # fused pallas path: gather/Boris/pos in one VMEM-resident
+            # kernel (ops/cellpallas.py) after the XLA half push +
+            # re-binning below. QED chi/events run AFTER it on the
+            # pre-push momenta still held in ``data`` — order-equivalent
+            # to the reference _interpolator -> _qed -> _push_momentum
+            # sequence.
             fused = (not split and use_pallas_cell
                      and self.switches["pusher"]
                      and self.switches["interpolation"]
                      and sp.pusher in ("boris", "boris+tbmt"))
+
+            # position half push (reference stage _push_position_1)
+            ig = data["inv_gamma"]
+            if not (self.switches["pusher"] and "p1" in stages):
+                pos = (data["x"], data["y"]) if ndim == 2 else (
+                    data["x"], data["y"], data["z"])
+            elif ndim == 2:
+                x, y = push_position_2d(data["x"], data["y"], data["ux"],
+                                        data["uy"], ig, cdt[0] / 2, cdt[1] / 2)
+                pos = (x, y)
+            else:
+                pos = push_position_3d(data["x"], data["y"], data["z"],
+                                       data["ux"], data["uy"], data["uz"], ig,
+                                       cdt[0] / 2, cdt[1] / 2, cdt[2] / 2)
+
+            # cell layout: re-bin at the MID-step position, between the
+            # first half push and the gather. This keeps the gather
+            # deltas in [-0.5, 0.5) (the 3/4-tap stencils are exact
+            # there) AND keeps both Esirkepov segment endpoints
+            # delta -+ v/2 within the 5-tap deposit stencil; it also
+            # means open-boundary absorption happens BEFORE a particle's
+            # step rather than between its push and its deposit, so the
+            # final half-step current of an exiting particle is never
+            # dropped. Drift since the previous (mid-step) re-binning is
+            # v_prev/2 + v_this/2 <= CFL < 1, so one +-1-cell hop
+            # suffices.
+            cell_lost = jnp.int32(0)
+            if cell_layout and not self.switches["migration"]:
+                # ablation-only escape hatch: without re-binning the
+                # stencil contract degrades (set_enabled docstring)
+                from ..utils.logger import logger as _log
+                _log.warning("cell engine running with migration "
+                             "disabled: physics is invalid (timing "
+                             "ablations only)")
+            if cell_layout and self.switches["migration"] \
+                    and "p1" in stages:
+                data["x"] = pos[0]
+                data["y"] = pos[1]
+                if ndim == 3:
+                    data["z"] = pos[2]
+                sort_fn = None
+                if use_pallas_cell and self.cell_migration != "exact":
+                    from ..ops.cellpallas import sort_cells_pallas
+                    sort_fn = sort_cells_pallas
+                if ndim == 2:
+                    from ..ops.cell2d import migrate_cell_2d
+                    data, alive, cell_lost = migrate_cell_2d(
+                        data, alive, specs, nloc[0], nloc[1],
+                        recompute_ig=(sp.pusher != "photon"),
+                        exact=(self.cell_migration == "exact"),
+                        sort_fn=sort_fn)
+                    pos = (data["x"], data["y"])
+                else:
+                    from ..ops.cell3d import migrate_cell_3d
+                    data, alive, cell_lost = migrate_cell_3d(
+                        data, alive, specs, nloc[0], nloc[1], nloc[2],
+                        recompute_ig=(sp.pusher != "photon"),
+                        exact=(self.cell_migration == "exact"),
+                        sort_fn=sort_fn)
+                    pos = (data["x"], data["y"], data["z"])
+                ig = data["inv_gamma"]
+
             if fused:
                 from ..ops.cellpallas import (fused_push_cell_2d,
                                               fused_push_cell_3d)
                 want_eb = bool(qed)
                 if ndim == 2:
                     outs = fused_push_cell_2d(
-                        eb_pad, data["x"], data["y"], data["ux"],
+                        eb_pad, pos[0], pos[1], data["ux"],
                         data["uy"], data["uz"], q=sp.q, m=sp.m, dt=dt,
-                        dx=grid.dx, dy=grid.dy, g=g, want_eb=want_eb)
+                        dx=grid.dx, dy=grid.dy, g=g, want_eb=want_eb,
+                        do_pos1=False)
                     new_pos, new_u = outs[:2], outs[2:5]
                     new_ig, ebs = outs[5], outs[6:]
                 else:
                     outs = fused_push_cell_3d(
-                        eb_pad, data["x"], data["y"], data["z"],
+                        eb_pad, pos[0], pos[1], pos[2],
                         data["ux"], data["uy"], data["uz"], q=sp.q,
                         m=sp.m, dt=dt, dx=grid.dx, dy=grid.dy,
-                        dz=grid.dz, g=g, want_eb=want_eb)
+                        dz=grid.dz, g=g, want_eb=want_eb, do_pos1=False)
                     new_pos, new_u = outs[:3], outs[3:6]
                     new_ig, ebs = outs[6], outs[7:]
                 if want_eb:
@@ -285,22 +347,6 @@ class StepBuilder:
                 ux, uy, uz = new_u
                 ig = new_ig
                 pos = tuple(new_pos)
-
-            # position half push (reference stage _push_position_1)
-            ig = ig if fused else data["inv_gamma"]
-            if fused:
-                pass
-            elif not (self.switches["pusher"] and "p1" in stages):
-                pos = (data["x"], data["y"]) if ndim == 2 else (
-                    data["x"], data["y"], data["z"])
-            elif ndim == 2:
-                x, y = push_position_2d(data["x"], data["y"], data["ux"],
-                                        data["uy"], ig, cdt[0] / 2, cdt[1] / 2)
-                pos = (x, y)
-            else:
-                pos = push_position_3d(data["x"], data["y"], data["z"],
-                                       data["ux"], data["uy"], data["uz"], ig,
-                                       cdt[0] / 2, cdt[1] / 2, cdt[2] / 2)
 
             # gather (reference stage _interpolator)
             if fused:
@@ -371,36 +417,6 @@ class StepBuilder:
             data["y"] = pos[1]
             if ndim == 3:
                 data["z"] = pos[2]
-
-            # cell layout: re-bin BEFORE deposit — the post-rebin delta in
-            # [-0.5, 0.5) narrows the deposit stencil to 5x5 offsets
-            # (ops/cell2d.py module docstring). J is unchanged by the
-            # reorder: positions are global, only the binning moves.
-            cell_lost = jnp.int32(0)
-            if cell_layout and self.switches["migration"] \
-                    and "deposit" in stages:
-                sort_fn = None
-                if use_pallas_cell and self.cell_migration != "exact":
-                    from ..ops.cellpallas import sort_cells_pallas
-                    sort_fn = sort_cells_pallas
-                if ndim == 2:
-                    from ..ops.cell2d import migrate_cell_2d
-                    data, alive, cell_lost = migrate_cell_2d(
-                        data, alive, specs, nloc[0], nloc[1],
-                        recompute_ig=(sp.pusher != "photon"),
-                        exact=(self.cell_migration == "exact"),
-                        sort_fn=sort_fn)
-                    pos = (data["x"], data["y"])
-                else:
-                    from ..ops.cell3d import migrate_cell_3d
-                    data, alive, cell_lost = migrate_cell_3d(
-                        data, alive, specs, nloc[0], nloc[1], nloc[2],
-                        recompute_ig=(sp.pusher != "photon"),
-                        exact=(self.cell_migration == "exact"),
-                        sort_fn=sort_fn)
-                    pos = (data["x"], data["y"], data["z"])
-                ux, uy, uz = data["ux"], data["uy"], data["uz"]
-                ig = data["inv_gamma"]
 
             # Esirkepov deposition (reference stage current_deposition)
             w = jnp.where(alive, data["w"], 0.0)
