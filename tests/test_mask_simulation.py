@@ -18,9 +18,12 @@ def clear_species_registry():
     _ALL_SPECIES.clear()
 
 
-def test_mask_simulation_ring():
+@pytest.mark.parametrize("tiling", [None, "cell"])
+def test_mask_simulation_ring(tiling):
     """Ring-shaped domain: fields damped and particles absent outside the
-    mask; outputs NaN-masked like the reference domain_mask."""
+    mask; outputs NaN-masked like the reference domain_mask. Runs under
+    both the scatter path and the cell engine (the per-particle mask
+    kill works on any layout)."""
     L = 6.4 * um
 
     def ring(x, y):
@@ -30,7 +33,7 @@ def test_mask_simulation_ring():
     ele = Electron(density=lambda x, y: 2 * nc, ppc=2)
     sim = MaskSimulation2D(nx=64, ny=64, dx=0.1 * um, dy=0.1 * um,
                            npatch_x=8, npatch_y=8,      # mask tiling
-                           mask_device_mesh=(2, 2),
+                           mask_device_mesh=(2, 2), tiling=tiling,
                            mask=ring, random_seed=0, precision="double")
     sim.add_species([ele])
     sim.initialize()
