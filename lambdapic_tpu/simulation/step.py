@@ -367,9 +367,15 @@ class StepBuilder:
                 else:
                     eb_p = gather_eb_3d(*[eb_pad[i] for i in range(6)],
                                         *pos, g)
-                for name, v in zip(("ex_part", "ey_part", "ez_part",
-                                    "bx_part", "by_part", "bz_part"), eb_p):
-                    data[name] = v
+                # the stored copies feed the QED chi update and the split
+                # path's later sub-stages; for a plain fused species they
+                # are dead weight (6 full-array outputs per step), so the
+                # slots go stale instead
+                if qed or split:
+                    for name, v in zip(("ex_part", "ey_part", "ez_part",
+                                        "bx_part", "by_part", "bz_part"),
+                                       eb_p):
+                        data[name] = v
             else:
                 eb_p = tuple(data[name] for name in
                              ("ex_part", "ey_part", "ez_part",
@@ -492,6 +498,13 @@ class StepBuilder:
                 alive = alive & inside
                 data["w"] = jnp.where(alive, data["w"], 0.0)
 
+            # return only the keys this block may have mutated: the
+            # gathered-field copies of a plain fused species pass through
+            # untouched, and returning them from the shard_map forces six
+            # full-array output buffers per species per step
+            out_keys = getattr(self, "_block_out_keys", None)
+            if out_keys is not None:
+                data = {k: data[k] for k in out_keys}
             data = {k: v.reshape(lead + shape) for k, v in data.items()}
             alive = alive.reshape(lead + shape)
             next_id = next_id.reshape(lead)
@@ -501,7 +514,16 @@ class StepBuilder:
         data_spec_tree = None  # filled per call; dict spec matches keys
 
         def wrapper(eb_pad, pstate: ParticlesState, key):
+            transient = {"ex_part", "ey_part", "ez_part",
+                         "bx_part", "by_part", "bz_part"}
+            if qed or split:
+                out_keys = sorted(pstate.data)
+            else:
+                out_keys = sorted(k for k in pstate.data
+                                  if k not in transient)
+            self._block_out_keys = out_keys
             dspec = {k: self._p_part for k in pstate.data}
+            ospec = {k: self._p_part for k in out_keys}
             in_specs = [self._p_stack, dspec, self._p_part, self._p_field,
                         self._p_field, P()]
             args = [eb_pad, pstate.data, pstate.alive, pstate.next_id,
@@ -511,10 +533,11 @@ class StepBuilder:
                 args.append(self._domain_mask)
             fn = self._smap(
                 local, tuple(in_specs),
-                (dspec, self._p_part, self._p_field, self._p_field,
+                (ospec, self._p_part, self._p_field, self._p_field,
                  self._p_stack),
             )
             data, alive, next_id, overflow, jpad = fn(*args)
+            data = {**pstate.data, **data}
             return ParticlesState(data=data, alive=alive, next_id=next_id,
                                   overflow=overflow), jpad
 
