@@ -16,10 +16,11 @@ a fixed loop over stencil offsets:
 — pure VPU elementwise work at TRUE per-particle cost (f32-exact: no MXU
 bf16-truncation tax), and the "shifted field" is a static slice of the
 padded array. Deposition reduces each offset's contribution over the
-slot (sublane) axis and slice-adds it into the padded J — a scatter-free
-Esirkepov. Migration is a +-1 roll along a cell axis (device edges
-ppermute, reusing the tiled machinery) plus a slot-axis merge sort over
-3*cap_c sublanes.
+slot axis and slice-adds it into the padded J — a scatter-free
+Esirkepov. Migration is one cap-wide 5-way-key sort per axis plus +-1
+rolls (device edges ppermute) with overwrite-merge placement — see
+migrate_cells; on TPU the hot loop runs as fused pallas kernels
+(ops/cellpallas.py).
 
 Numerical contract identical to ops/interpolation.py::gather_eb_2d and
 ops/deposition.py::deposit_2d (reference interpolation/cpu2d.c:7-154,
@@ -36,10 +37,11 @@ Boris -> pos-half -> deposit). Then
 - open-boundary absorption happens BEFORE a particle's push+deposit,
   so an exiting particle's final half-step current is never dropped.
 
-Known limitation (why this is not yet the default engine): per-cell
-capacity overflows under strong local compression; overflow is counted,
-but a production configuration needs either generous cap_c or a
-secondary pool. See docs/PARITY.md.
+Known limitation: per-cell capacity overflows under strong local
+compression; overflow is counted in the species' overflow counter
+(pick particle_capacity_factor by loss budget — measurements in
+docs/BENCH_LOCAL.md). A future overflow path is per-cell particle
+merging instead of drops.
 """
 from __future__ import annotations
 
