@@ -33,10 +33,12 @@ def total_energy(sim) -> float:
 
 
 @pytest.mark.integration
-def test_energy_conservation_thermal_plasma():
+@pytest.mark.parametrize("tiling", [None, "cell"])
+def test_energy_conservation_thermal_plasma(tiling):
     """Total (kinetic + field) energy of a 1 keV quasi-neutral plasma is
     conserved to a few percent over ~9 plasma steps (reference
-    test_numerical_heating.py:103-150)."""
+    test_numerical_heating.py:103-150) — under both the scatter path and
+    the default cell engine."""
     ne = 1 * nc
     ele = Electron(density=lambda x, y: ne, ppc=10)
     deut = Species(name="D", charge=1, mass=2 * m_p / m_e,
@@ -45,7 +47,7 @@ def test_energy_conservation_thermal_plasma():
         nx=64, ny=64, dx=l0 / 20, dy=l0 / 20, npatch_x=2, npatch_y=2,
         boundary_conditions={k: "periodic" for k in
                              ("xmin", "xmax", "ymin", "ymax")},
-        random_seed=3, precision="double")
+        random_seed=3, precision="double", tiling=tiling)
     sim.add_species([ele, deut])
     sim.initialize()
 
