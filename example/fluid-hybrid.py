@@ -119,8 +119,8 @@ ions = Proton(density=lambda x, y: n_bg + beam_density(x, y), ppc=2)
 
 sim = Simulation(
     tiling="cell",          # cell-binned TPU engine (pallas kernels)
-                 nx=nx, ny=ny, dx=dx, dy=dy, nsteps=1001,
-                 log_file="fluid-hybrid.log")
+    nx=nx, ny=ny, dx=dx, dy=dy, nsteps=1001,
+    log_file="fluid-hybrid.log")
 sim.add_species([beam, ions])
 
 if __name__ == "__main__":

@@ -45,8 +45,8 @@ pro = Proton(density=density, ppc=4)
 
 sim = Simulation(
     tiling="cell",          # cell-binned TPU engine (pallas kernels)
-                 nx=nx, ny=ny, dx=dx, dy=dy, nsteps=501,
-                 log_file="species-resolved.log")
+    nx=nx, ny=ny, dx=dx, dy=dy, nsteps=501,
+    log_file="species-resolved.log")
 sim.add_species([ele, pro])
 
 if __name__ == "__main__":

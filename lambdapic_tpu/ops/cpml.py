@@ -109,8 +109,12 @@ def build_cpml(grid: Grid, dt: float, params: CPMLParams) -> CPMLCoeffs:
         hi = bc.get(name + "max") == "pml"
         if not (lo or hi):
             continue
-        if params.thickness >= grid.nx_loc if name == "x" else False:
-            raise ValueError("PML thickness must be smaller than shard size")
+        n_loc = {"x": grid.nx_loc, "y": grid.ny_loc,
+                 "z": grid.nz_loc if grid.dimension == 3 else 0}[name]
+        if params.thickness >= n_loc:
+            raise ValueError(
+                f"PML thickness ({params.thickness}) must be smaller than "
+                f"the per-device shard size along {name} ({n_loc})")
         ke, be, ce, kb, bb, cb = _face_profiles(n, d, dt, params, lo, hi)
         profiles[name] = dict(
             kappa_e=ke, b_e=be, c_e=ce, kappa_b=kb, b_b=bb, c_b=cb)
