@@ -31,6 +31,7 @@ from ..core.species import Species, _ALL_SPECIES
 from ..core.state import (FieldsState, ParticlesState, SimulationState,
                           particles_from_numpy, zeros_fields)
 from ..ops.cpml import CPMLCoeffs, CPMLParams, build_cpml
+from ..parallel import distributed as dist
 from ..parallel import mesh as pmesh
 from ..utils.logger import configure_logger, logger
 from ..utils.timer import Timer, set_timer_enabled
@@ -135,15 +136,29 @@ class Simulation:
     # them by R; requires n_guard wide enough to cover R steps of CFL
     # drift (validated at initialize)
     rebin_interval: int = 1
-    # cell engine (tiling="cell") re-binning scheme: "fast" = single
-    # cap-wide sort + overwrite-merge (rare collision losses, counted in
-    # the overflow counters); "exact" = 3*cap concat-merge, lossless while
-    # a cell's total stays within capacity (ops/cell2d.py migrate_cells)
+    # cell engine (tiling="cell") re-binning scheme:
+    #   "fast"  = single cap-wide sort + overwrite-merge. ~2x faster
+    #             migration, but simultaneous slot collisions can drop
+    #             particles (~0.1-0.2%/600 steps in dense runs on top of
+    #             genuine capacity overflow; all losses are counted in the
+    #             overflow counters and warned about).
+    #   "exact" = 3*cap concat-merge, lossless while a cell's total stays
+    #             within capacity (ops/cell2d.py migrate_cells).
+    # Use "exact" for physics-validation runs (double precision, QED
+    # population studies); "fast" for throughput.
     cell_migration: str = "fast"
     # TPU extra: fuse up to N steps into one lax.scan dispatch when no host
     # callback is due (amortizes dispatch latency; costs one extra compile
     # per chunk size). 1 = off.
     step_chunk: int = 1
+    # host-side re-capacity (the reference's ParticlesBase.extend analog,
+    # particles.py:141-168): every N steps read slot occupancy + overflow
+    # counters (device scalars) and grow a species' capacity 1.5x before
+    # it overflows. 0 = off (fixed capacities). Growth rebuilds the
+    # stepper (one recompile per growth event).
+    recap_interval: int = 10
+    # grow when the fullest device/cell exceeds this occupancy fraction
+    recap_threshold: float = 0.75
 
     dimension = 2
 
@@ -185,9 +200,19 @@ class Simulation:
         self.state: Optional[SimulationState] = None
         self._xmin_pml_removed = False
         self._collision_groups = None
-        self._base_key = jax.random.PRNGKey(
-            cfg.random_seed if cfg.random_seed is not None else 0)
-        self._recap_interval = 20
+        # reference semantics (tests/test_random_seed.py:10-107): a fixed
+        # random_seed gives bitwise-reproducible runs; no seed draws fresh
+        # OS entropy so repeated runs differ
+        if cfg.random_seed is not None:
+            self._seed_effective = int(cfg.random_seed)
+        else:
+            import numpy as _np
+            self._seed_effective = int(
+                _np.random.SeedSequence().generate_state(1)[0])
+        self._base_key = jax.random.PRNGKey(self._seed_effective)
+        self._occ_fns: Dict[int, object] = {}
+        self._overflow_seen: Dict[int, int] = {}
+        self._occ_seen: Dict[int, int] = {}
         self._window_offset = 0   # moving-window cells shifted (host int)
         logger.info("Simulation instance created")
 
@@ -314,15 +339,19 @@ class Simulation:
         dtype = self.dtype
         fields = zeros_fields(self.grid, dtype=dtype, with_pml=any_pml)
         fsh = pmesh.field_sharding(self.mesh)
-        fields = jax.tree.map(lambda a: jax.device_put(a, fsh), fields)
+        fields = jax.tree.map(lambda a: dist.put_global(a, fsh), fields)
 
+        if self.cell_migration not in ("fast", "exact"):
+            raise ValueError(
+                f"cell_migration must be 'fast' or 'exact', got "
+                f"{self.cell_migration!r}")
         if self.tiling is not None:
             self._validate_tiling()
         elif self.rebin_interval != 1:
             raise ValueError(
                 "rebin_interval requires the tiled engine (tiling=); the "
                 "scatter path migrates with fixed-width guards every step")
-        seed = self._config.random_seed if self._config.random_seed is not None else 0
+        seed = self._seed_effective
         parts = []
         self._species_static = []
         psh = pmesh.particle_sharding(self.mesh)
@@ -376,10 +405,10 @@ class Simulation:
                 pst = particles_from_numpy(self.grid, sp, arrays, counts,
                                            cap, dtype=dtype)
             pst = ParticlesState(
-                data={k: jax.device_put(v, psh) for k, v in pst.data.items()},
-                alive=jax.device_put(pst.alive, psh),
-                next_id=jax.device_put(pst.next_id, ssh),
-                overflow=jax.device_put(pst.overflow, ssh))
+                data={k: dist.put_global(v, psh) for k, v in pst.data.items()},
+                alive=dist.put_global(pst.alive, psh),
+                next_id=dist.put_global(pst.next_id, ssh),
+                overflow=dist.put_global(pst.overflow, ssh))
             parts.append(pst)
             buf = self._config.migration_buffer
             if buf is None:
@@ -697,6 +726,10 @@ class Simulation:
                         self.time += k * self.dt
                         self.itime += k
                         pbar.update(k)
+                        if self.recap_interval and \
+                                (self.itime // self.recap_interval
+                                 != (self.itime - k) // self.recap_interval):
+                            self._maybe_recap()
                         continue
 
                 pbar.update(1)
@@ -757,6 +790,10 @@ class Simulation:
                 self.time += self.dt
                 self.itime += 1
 
+                if self.recap_interval and \
+                        self.itime % self.recap_interval == 0:
+                    self._maybe_recap()
+
                 if stop_callback is not None and stop_callback():
                     pbar.close()
                     return "stop by callback"
@@ -770,15 +807,119 @@ class Simulation:
         with Timer("Callbacks: final stage"):
             cbs.run("final")
 
+    # -- host-side re-capacity (reference particles.py:141-193) ---------
+    def _slot_axis(self, p: ParticlesState) -> int:
+        """Axis of the slot (capacity) dimension for the active layout."""
+        if self.tiling == "cell":
+            return len(self.grid.mesh_shape)   # (mesh..., cap_c, *cells)
+        return p.alive.ndim - 1                # flat / tiled: cap last
+
+    def _occupancy(self, ispec: int) -> int:
+        """Max alive count over the slot-axis groups (per device for the
+        flat layout, per cell/tile otherwise) — a device-side reduction,
+        only a scalar crosses to host."""
+        p = self.state.particles[ispec]
+        axis = self._slot_axis(p)
+        fn = self._occ_fns.get((ispec, axis, p.alive.shape))
+        if fn is None:
+            fn = jax.jit(
+                lambda alive: alive.sum(axis=axis, dtype=jnp.int32).max())
+            self._occ_fns[(ispec, axis, p.alive.shape)] = fn
+        return int(fn(p.alive))
+
+    def _maybe_recap(self):
+        """Grow capacities before (threshold) or at (overflow) need —
+        the between-jit-segments analog of the reference's on-demand
+        ParticlesBase.extend (particles.py:141-168)."""
+        grew = False
+        for ispec, p in enumerate(self.state.particles):
+            st = self._species_static[ispec]
+            cap = st.tile_cap if self.tiling is not None else st.cap
+            ov = int(dist.to_host(p.overflow).sum())
+            occ = self._occupancy(ispec)
+            seen = self._overflow_seen.get(ispec, 0)
+            # predictive trigger: extrapolate the occupancy growth over the
+            # last interval so the next interval's influx fits (the
+            # reference grows inside the step and never loses,
+            # particles.py:141-168; between-step growth must look ahead)
+            influx = max(0, occ - self._occ_seen.get(ispec, 0))
+            self._occ_seen[ispec] = occ
+            lost_now = ov > seen
+            if lost_now:
+                verb = ("merged" if self.tiling == "cell"
+                        else "lost to capacity overflow")
+                logger.warning(
+                    f"species {self.species[ispec].name}: {ov - seen} "
+                    f"particles {verb} before re-capacity could trigger "
+                    f"(occupancy {occ}/{cap}); growing")
+                self._overflow_seen[ispec] = ov
+            if lost_now or occ + 2 * influx > self.recap_threshold * cap:
+                new_cap = max(int(math.ceil(cap * 1.5)),
+                              occ + 4 * max(influx, 1))
+                self._grow_capacity(ispec, new_cap)
+                grew = True
+        if grew:
+            self._build_stepper(getattr(self, "_active_lasers", None) or [])
+
+    def _grow_capacity(self, ispec: int, new_cap: int):
+        """Pad the slot axis with dead slots and update the static config.
+        Slot order within a device/cell has no physical meaning, so
+        padding preserves the simulation state exactly."""
+        import dataclasses
+        p = self.state.particles[ispec]
+        axis = self._slot_axis(p)
+        old = p.alive.shape[axis]
+        new_cap = int(new_cap) + (int(new_cap) & 1)   # keep it even
+        if new_cap <= old:
+            return
+        widths = [(0, 0)] * p.alive.ndim
+        widths[axis] = (0, new_cap - old)
+        psh = pmesh.particle_sharding(self.mesh)
+        data = {}
+        for k, v in p.data.items():
+            fill = 1 if k == "inv_gamma" else 0
+            a = np.pad(dist.to_host(v), widths, constant_values=fill)
+            data[k] = dist.put_global(jnp.asarray(a), psh)
+        alive = dist.put_global(
+            jnp.asarray(np.pad(dist.to_host(p.alive), widths,
+                               constant_values=False)), psh)
+        newp = ParticlesState(data=data, alive=alive, next_id=p.next_id,
+                              overflow=p.overflow)
+        parts = list(self.state.particles)
+        parts[ispec] = newp
+        self.state = SimulationState(fields=self.state.fields,
+                                     particles=tuple(parts))
+        st = self._species_static[ispec]
+        if self.tiling == "cell":
+            st = dataclasses.replace(st, cap=new_cap, tile_cap=new_cap)
+        elif self.tiling is not None:
+            st = dataclasses.replace(st, tile_cap=new_cap)
+        else:
+            st = dataclasses.replace(
+                st, cap=new_cap,
+                migration_buf=min(max(st.migration_buf, old), new_cap))
+        self._species_static[ispec] = st
+        logger.info(f"species {self.species[ispec].name}: capacity grown "
+                    f"{old} -> {new_cap} (slot axis {axis})")
+
     # ------------------------------------------------------------------
     def _check_overflow(self):
         for ispec, p in enumerate(self.state.particles):
-            ov = int(np.asarray(p.overflow).sum())
+            ov = int(dist.to_host(p.overflow).sum())
             if ov > 0:
-                logger.warning(
-                    f"species {self.species[ispec].name}: {ov} particles "
-                    "lost to migration-buffer/capacity overflow — increase "
-                    "particle_capacity_factor or migration_buffer")
+                if self.tiling == "cell":
+                    logger.warning(
+                        f"species {self.species[ispec].name}: {ov} "
+                        "particle merges from per-cell capacity pressure "
+                        "(charge/momentum conserved; raise "
+                        "particle_capacity_factor or keep recap_interval "
+                        "on to avoid merging)")
+                else:
+                    logger.warning(
+                        f"species {self.species[ispec].name}: {ov} "
+                        "particles lost to migration-buffer/capacity "
+                        "overflow — increase particle_capacity_factor or "
+                        "migration_buffer")
 
     # -- data access for callbacks/diagnostics -------------------------
     def get_field(self, name: str) -> np.ndarray:
@@ -787,12 +928,12 @@ class Simulation:
         # drain the dispatch queue through the fast path before the host
         # read (raw reads against a deep queue serialize on the TPU relay)
         jax.block_until_ready(self.state)
-        return np.asarray(getattr(self.state.fields, name))
+        return dist.to_host(getattr(self.state.fields, name))
 
     def set_field(self, name: str, value: np.ndarray):
         f = self.state.fields
         sh = pmesh.field_sharding(self.mesh)
-        arr = jax.device_put(jnp.asarray(value, dtype=self.dtype), sh)
+        arr = dist.put_global(jnp.asarray(value, dtype=self.dtype), sh)
         self.state = self.state.replace(
             fields=f.replace(**{name: arr}))
 
@@ -802,11 +943,21 @@ class Simulation:
         p = self.state.particles[ispec]
         grid = self.grid
         nd = grid.dimension
-        alive = np.asarray(p.alive).reshape(-1)
+        alive = dist.to_host(p.alive).reshape(-1)
+        # gathered-field slots are only refreshed by QED/split species
+        # blocks; for plain fused species they hold stale, slot-misaligned
+        # values and must not be exposed as diagnostics
+        transients = {"ex_part", "ey_part", "ez_part",
+                      "bx_part", "by_part", "bz_part"}
+        builder = getattr(self, "_builder", None)
+        transients_ok = (builder is not None
+                         and builder.transients_valid.get(ispec, False))
         out = {}
         for k, v in p.data.items():
+            if k in transients and not transients_ok:
+                continue
             # flatten any sub-device structure (e.g. tiles) into one axis
-            a = np.asarray(v).reshape(v.shape[:nd] + (-1,))
+            a = dist.to_host(v).reshape(v.shape[:nd] + (-1,))
             if k in ("x", "y", "z")[: grid.dimension]:
                 # convert local cell units to global SI
                 ax = {"x": 0, "y": 1, "z": 2}[k]
@@ -884,17 +1035,17 @@ class Simulation:
         psh = pmesh.particle_sharding(self.mesh)
         ssh = pmesh.scalar_sharding(self.mesh)
         pst = ParticlesState(
-            data={k: jax.device_put(v, psh) for k, v in pst.data.items()},
-            alive=jax.device_put(pst.alive, psh),
-            next_id=jax.device_put(pst.next_id, ssh),
-            overflow=jax.device_put(pst.overflow, ssh))
+            data={k: dist.put_global(v, psh) for k, v in pst.data.items()},
+            alive=dist.put_global(pst.alive, psh),
+            next_id=dist.put_global(pst.next_id, ssh),
+            overflow=dist.put_global(pst.overflow, ssh))
         parts = list(self.state.particles)
         parts[ispec] = pst
         self.state = self.state.replace(particles=tuple(parts))
 
     @property
     def npart_alive(self) -> List[int]:
-        return [int(np.asarray(p.alive).sum()) for p in self.state.particles]
+        return [int(dist.to_host(p.alive).sum()) for p in self.state.particles]
 
     def load_imbalance(self) -> float:
         """(max - min) / mean of per-device alive-particle counts — the
@@ -906,7 +1057,7 @@ class Simulation:
         ndev = len(self.mesh.devices.flat)
         per_dev = np.zeros(ndev)
         for p in self.state.particles:
-            a = np.asarray(p.alive)
+            a = dist.to_host(p.alive)
             per_dev += a.reshape(ndev, -1).sum(axis=1)
         mean = per_dev.mean()
         if mean == 0:
@@ -922,7 +1073,7 @@ class Simulation:
             self._rho_fns[ispec] = self._builder.make_species_rho(ispec)
         fn, q = self._rho_fns[ispec]
         jax.block_until_ready(self.state)
-        return np.asarray(fn(self.state.particles[ispec])), q
+        return dist.to_host(fn(self.state.particles[ispec])), q
 
     def species_density(self, ispec: int) -> np.ndarray:
         """Global number-density array of one species (host numpy).

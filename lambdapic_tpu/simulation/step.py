@@ -123,6 +123,11 @@ class StepBuilder:
         self._p_part = P(*names)      # (npx, npy[, npz], cap): cap replicated
         self._damping = None          # masked-domain sponge (mask_simulation)
         self._domain_mask = None
+        # ispec -> True when the species block refreshes the gathered-field
+        # slots (ex_part..bz_part) each step; plain fused species leave them
+        # stale (see make_species_block out_keys) and diagnostics must not
+        # expose them
+        self.transients_valid: Dict[int, bool] = {}
 
     def set_domain_mask(self, domain_mask, damping):
         """Enable masked-domain mode (simulation/mask_simulation.py): fields
@@ -521,6 +526,10 @@ class StepBuilder:
             else:
                 out_keys = sorted(k for k in pstate.data
                                   if k not in transient)
+            # record whether this species' gathered-field slots are
+            # refreshed each step: plain fused species pass them through
+            # stale, and Simulation.get_particles must not expose them
+            self.transients_valid[ispec] = bool(qed) or split
             self._block_out_keys = out_keys
             dspec = {k: self._p_part for k in pstate.data}
             ospec = {k: self._p_part for k in out_keys}
