@@ -36,6 +36,20 @@ from .qed_tables import load_tables
 CHI_FACTOR = e * hbar / (m_e**2 * c**3)
 
 
+def _resolve_sample_mode(mode: Optional[str]) -> str:
+    """'chebyshev' (default; gather-free surrogates) or 'table'
+    (reference-exact interpolation + bisection, slow on TPU). Defaults
+    from LAMBDAPIC_QED_SAMPLING, the analog of the reference's
+    LAMBDAPIC_USE_SIGMOID_SAMPLING table switch (optical_depth.py:8-32)."""
+    import os
+    if mode is None:
+        mode = os.environ.get("LAMBDAPIC_QED_SAMPLING", "chebyshev")
+    if mode not in ("chebyshev", "table"):
+        raise ValueError(
+            f"sample_mode must be 'chebyshev' or 'table', got {mode!r}")
+    return mode
+
+
 def calculate_chi(ex_p, ey_p, ez_p, bx_p, by_p, bz_p, ux, uy, uz, inv_gamma):
     """Quantum parameter chi (reference inline.py:5-13)."""
     gamma = 1.0 / inv_gamma
@@ -58,7 +72,8 @@ class _Tables:
     log10(total rate) vs log10(chi) to ~1e-5, and the r-uniform inverse
     CDF as a 2D fit (log-delta space for photons, ~3e-5; delta space for
     pairs, ~6e-4 — the pair log-CDF is step-like near threshold). The
-    exact table path remains for validation (sample_mode='table').
+    exact table path is selectable with sample_mode='table' on the
+    process classes or LAMBDAPIC_QED_SAMPLING=table for validation.
     """
 
     total: jnp.ndarray          # (chi_N,)
@@ -225,17 +240,20 @@ def _sample_delta_table(chi, r01, tb: _Tables):
 
 
 def _update_tau(tau, inv_gamma, chi, alive, dt, keys, tb: _Tables,
-                strict_less: bool):
+                strict_less: bool, sample_mode: str = "chebyshev"):
     """Optical-depth decrement + event flag (reference
     optical_depth.py:36-130). strict_less: photon emission uses tau<0,
-    pair production tau<=0."""
+    pair production tau<=0. sample_mode: 'chebyshev' = gather-free
+    surrogates (default, fast on TPU); 'table' = reference-exact linear
+    interpolation + CDF bisection (validation, slow on TPU)."""
     chi_min = 10.0 ** tb.log_chi_min
     active = alive & (chi >= chi_min)
     u1 = jax.random.uniform(keys[0], tau.shape, dtype=tau.dtype)
     u2 = jax.random.uniform(keys[1], tau.shape, dtype=tau.dtype)
     u3 = jax.random.uniform(keys[2], tau.shape, dtype=tau.dtype)
 
-    rate = _total_rate(chi, tb)
+    table_mode = sample_mode == "table"
+    rate = (_total_rate_table if table_mode else _total_rate)(chi, tb)
     tau_init = jnp.where((tau == 0.0) | jnp.isnan(tau),
                          -jnp.log1p(-u1), tau)
     tau_new = tau_init - rate * dt * inv_gamma
@@ -243,7 +261,8 @@ def _update_tau(tau, inv_gamma, chi, alive, dt, keys, tb: _Tables,
     event = active & crossed
     tau_out = jnp.where(event, -jnp.log1p(-u2), tau_new)
     tau_out = jnp.where(active, tau_out, tau)
-    delta = jnp.where(event, _sample_delta(chi, u3, tb), 0.0)
+    sampler = _sample_delta_table if table_mode else _sample_delta
+    delta = jnp.where(event, sampler(chi, u3, tb), 0.0)
     return tau_out, event, delta
 
 
@@ -255,11 +274,12 @@ class NonlinearComptonLCFA:
     creates_particles = True
 
     def __init__(self, ispec: int, photon_ispec: int, buf: int,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, sample_mode: Optional[str] = None):
         self.ispec = ispec
         self.photon_ispec = photon_ispec
         self.buf = buf
         self.tables = _make_tables("photon", dtype)
+        self.sample_mode = _resolve_sample_mode(sample_mode)
         self._disabled_event = False   # test hook: event() stage toggle
 
     # -- called inside the fused species block (local (cap,) arrays) -----
@@ -273,7 +293,7 @@ class NonlinearComptonLCFA:
         keys = jax.random.split(jax.random.fold_in(key, 101), 3)
         tau, event, delta = _update_tau(
             data["tau"], data["inv_gamma"], data["chi"], alive, dt, keys,
-            self.tables, strict_less=True)
+            self.tables, strict_less=True, sample_mode=self.sample_mode)
         data["tau"] = tau
         data["event"] = event.astype(data["tau"].dtype)
         data["delta"] = delta
@@ -317,7 +337,13 @@ class NonlinearComptonLCFA:
         cap_e = ealive.shape[0]
         ev = ealive & (edata["event"] > 0)
         n_ev = jnp.sum(ev)
-        idx = jnp.nonzero(ev, size=self.buf, fill_value=cap_e)[0]
+        # the creation buffer is the CHILD capacity: every event creates
+        # its photon as long as slots exist (the reference extends arrays
+        # and never drops, qed/cpu.py:283-307; a smaller buffer would
+        # silently recoil electrons without emitting — momentum loss)
+        k_buf = palive.shape[0]
+        idx = jnp.nonzero(ev, size=k_buf, fill_value=cap_e)[0]
+        pover = pover + jnp.maximum(n_ev - k_buf, 0).astype(pover.dtype)
 
         def take(a):
             return jnp.take(a, idx, mode="fill", fill_value=0)
@@ -357,12 +383,13 @@ class NonlinearPairProductionLCFA:
     creates_particles = True
 
     def __init__(self, ispec: int, electron_ispec: int, positron_ispec: int,
-                 buf: int, dtype=jnp.float32):
+                 buf: int, dtype=jnp.float32, sample_mode: Optional[str] = None):
         self.ispec = ispec                 # photon species
         self.electron_ispec = electron_ispec
         self.positron_ispec = positron_ispec
         self.buf = buf
         self.tables = _make_tables("pair", dtype)
+        self.sample_mode = _resolve_sample_mode(sample_mode)
 
     def update_chi_and_events(self, data, alive, key, dt):
         data = dict(data)
@@ -374,7 +401,7 @@ class NonlinearPairProductionLCFA:
         keys = jax.random.split(jax.random.fold_in(key, 202), 3)
         tau, event, delta = _update_tau(
             data["tau"], data["inv_gamma"], data["chi"], alive, dt, keys,
-            self.tables, strict_less=False)
+            self.tables, strict_less=False, sample_mode=self.sample_mode)
         data["tau"] = tau
         data["event"] = event.astype(data["tau"].dtype)
         data["delta"] = delta
@@ -416,7 +443,13 @@ class NonlinearPairProductionLCFA:
         cap_ph = phalive.shape[0]
         ev = phalive & (phdata["event"] > 0)
         n_ev = jnp.sum(ev)
-        idx = jnp.nonzero(ev, size=self.buf, fill_value=cap_ph)[0]
+        # buffer = child capacity so no event silently converts without
+        # children (see NonlinearComptonLCFA.creation_local)
+        k_buf = min(ealive.shape[0], palive.shape[0])
+        idx = jnp.nonzero(ev, size=k_buf, fill_value=cap_ph)[0]
+        excess = jnp.maximum(n_ev - k_buf, 0)
+        eover = eover + excess.astype(eover.dtype)
+        pover = pover + excess.astype(pover.dtype)
 
         def take(a):
             return jnp.take(a, idx, mode="fill", fill_value=0)

@@ -40,3 +40,42 @@ def test_sample_surrogate_matches_table():
         err = np.abs(d_c - d_t)
         assert np.median(err) < tol, (kind, np.median(err))
         assert np.quantile(err, 0.99) < 10 * tol, (kind,)
+
+
+def test_sample_mode_switch():
+    """The process classes expose a real sample_mode switch: 'table' routes
+    _update_tau through the reference-exact interpolation/bisection path
+    (ADVICE r1; reference optical_depth.py:36-130)."""
+    import jax
+    from lambdapic_tpu.models.qed import (NonlinearComptonLCFA, _Tables,
+                                          _update_tau)
+    import pytest
+
+    proc_c = NonlinearComptonLCFA(0, 1, 8, jnp.float64)
+    assert proc_c.sample_mode == "chebyshev"
+    proc_t = NonlinearComptonLCFA(0, 1, 8, jnp.float64, sample_mode="table")
+    assert proc_t.sample_mode == "table"
+    with pytest.raises(ValueError):
+        NonlinearComptonLCFA(0, 1, 8, jnp.float64, sample_mode="exacct")
+
+    # both modes produce statistically matching event rates
+    tb = proc_c.tables
+    n = 20000
+    rng = np.random.default_rng(2)
+    chi = jnp.asarray(np.full(n, 1.0))
+    tau = jnp.zeros(n)
+    ig = jnp.asarray(np.full(n, 1e-3))
+    alive = jnp.ones(n, bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    dt = 1e-17
+    _, ev_c, d_c = _update_tau(tau, ig, chi, alive, dt, keys, tb,
+                               strict_less=True, sample_mode="chebyshev")
+    _, ev_t, d_t = _update_tau(tau, ig, chi, alive, dt, keys, tb,
+                               strict_less=True, sample_mode="table")
+    rc, rt = float(jnp.mean(ev_c)), float(jnp.mean(ev_t))
+    assert rc > 0.01 and rt > 0.01
+    assert abs(rc - rt) / rt < 0.05
+    # identical RNG stream: events nearly coincide, deltas closely agree
+    both = np.asarray(ev_c & ev_t)
+    np.testing.assert_allclose(np.asarray(d_c)[both], np.asarray(d_t)[both],
+                               atol=5e-3)
