@@ -30,17 +30,18 @@ def _modify_particles(sim, ispec: int, fn):
     push back."""
     import jax
 
+    from ..parallel import distributed as dist
     from ..parallel import mesh as pmesh
 
     p = sim.state.particles[ispec]
-    data = {k: np.array(v) for k, v in p.data.items()}   # writable copies
-    alive = np.asarray(p.alive)
+    data = {k: dist.to_host(v).copy() for k, v in p.data.items()}
+    alive = dist.to_host(p.alive)
     fn(data, alive)
     psh = pmesh.particle_sharding(sim.mesh)
     import jax.numpy as jnp
     new_data = {}
     for k, v in p.data.items():
-        new_data[k] = jax.device_put(
+        new_data[k] = dist.put_global(
             jnp.asarray(data[k], dtype=v.dtype), psh)
     parts = list(sim.state.particles)
     parts[ispec] = p.replace(data=new_data)
@@ -153,7 +154,7 @@ class SetTemperature(Callback):
         return u * sinth * np.cos(phi), u * sinth * np.sin(phi), u * costh
 
     def _call(self, sim) -> None:
-        seed = sim._config.random_seed or 0
+        seed = sim._seed_effective
         rand_gen = np.random.default_rng([seed, 17, self.species.ispec,
                                           sim.itime])
         Tx, Ty, Tz = self.temperature

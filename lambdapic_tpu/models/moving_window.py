@@ -121,7 +121,7 @@ class MovingWindow(Callback):
         x_glob = (sim.nx + sim._window_offset) * grid.dx
         npx = grid.npatch_x
         rng = np.random.default_rng(
-            [sim._config.random_seed or 0, 23, ispec, sim._window_offset])
+            [sim._seed_effective, 23, ispec, sim._window_offset])
 
         for dev in np.ndindex(mshape):
             if dev[0] != npx - 1:
