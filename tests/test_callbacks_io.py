@@ -185,3 +185,107 @@ def test_moving_window_lwfa():
     p = sim.get_particles(0)
     if len(p["x"]):
         assert p["x"].min() > 19 * um
+
+
+SLICE_CASES_2D = [
+    np.s_[:, 5],
+    np.s_[5],
+    np.s_[::2, ::3],
+    np.s_[10:30:2, 5],
+    np.s_[-10:, :],
+    np.s_[:, -5],
+    np.s_[63, 31],
+    np.s_[::7, ::5],
+    np.s_[5:5, :],          # empty slice
+    np.s_[-20:-4:3, 1:-1],
+]
+
+
+def test_save_fields_hdf5_slice_matrix(tmp_path):
+    """The reference exercises 20+ slice cases (test_hdf5_callback.py);
+    each saved dataset must equal numpy slicing of the full field."""
+    import h5py
+    sim = make_sim()
+    cbs = [SaveFieldsToHDF5(prefix=tmp_path / f"s{i}", interval=1,
+                            components=["ey"], slice=s)
+           for i, s in enumerate(SLICE_CASES_2D)]
+    cbs.append(SaveFieldsToHDF5(prefix=tmp_path / "full", interval=1,
+                                components=["ey"]))
+    sim.run(nsteps=1, callbacks=cbs)
+    with h5py.File(tmp_path / "full" / "000000.h5", "r") as f:
+        full = f["ey"][...]
+        assert "slice" not in f.attrs
+    for i, s in enumerate(SLICE_CASES_2D):
+        with h5py.File(tmp_path / f"s{i}" / "000000.h5", "r") as f:
+            got = f["ey"][...]
+            assert "slice" in f.attrs
+        exp = full[_as_explicit(s)]
+        assert got.shape == exp.shape, (i, s, got.shape, exp.shape)
+        np.testing.assert_array_equal(got, exp)
+
+
+def _as_explicit(s):
+    """Mirror the writer's int->length-1-slice normalization for numpy."""
+    if not isinstance(s, tuple):
+        s = (s,)
+    out = []
+    for e in s:
+        if isinstance(e, (int, np.integer)):
+            out.append(slice(e, e + 1 if e != -1 else None))
+        else:
+            out.append(e)
+    return tuple(out)
+
+
+def test_save_fields_hdf5_slice_errors(tmp_path):
+    sim = make_sim()
+    sim.initialize()
+    cb = SaveFieldsToHDF5(prefix=tmp_path / "bad", interval=1,
+                          components=["ey"], slice=np.s_[::-1, :])
+    with pytest.raises(ValueError):
+        cb._call(sim)
+    cb = SaveFieldsToHDF5(prefix=tmp_path / "bad2", interval=1,
+                          components=["ey"], slice=np.s_[0, 0, 0])
+    with pytest.raises(ValueError):
+        cb._call(sim)
+    cb = SaveFieldsToHDF5(prefix=tmp_path / "bad3", interval=1,
+                          components=["ey"], slice=np.s_[200, 0])
+    with pytest.raises(IndexError):
+        cb._call(sim)
+
+
+def test_save_density_hdf5_slice_3d(tmp_path):
+    """3D slice matrix for density + fields writers."""
+    import h5py
+    from lambdapic_tpu import Simulation3D
+    _ALL_SPECIES.clear()
+
+    def density(x, y, z):
+        return np.where(x > 0.5 * um, 2 * nc, 0.0)
+
+    ele = Electron(density=density, ppc=1)
+    bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax",
+                                  "zmin", "zmax")}
+    sim = Simulation3D(nx=16, ny=16, nz=16, dx=0.1 * um, dy=0.1 * um,
+                       dz=0.1 * um, npatch_x=2, npatch_y=2, npatch_z=2,
+                       boundary_conditions=bc, random_seed=1)
+    sim.add_species([ele])
+    cases = [np.s_[:, :, 10], np.s_[::2, ::2, ::5], np.s_[4, :, :],
+             np.s_[:, 5], np.s_[1:-1, ::3, -4:]]
+    cbs = [SaveSpeciesDensityToHDF5(ele, prefix=tmp_path / f"d{i}",
+                                    interval=1, slice=s)
+           for i, s in enumerate(cases)]
+    cbs.append(SaveSpeciesDensityToHDF5(ele, prefix=tmp_path / "dfull",
+                                        interval=1))
+    cbs.append(SaveFieldsToHDF5(prefix=tmp_path / "f0", interval=1,
+                                components=["rho"], slice=np.s_[:, :, 10]))
+    sim.run(nsteps=1, callbacks=cbs)
+    with h5py.File(tmp_path / "dfull" / "electron_000000.h5", "r") as f:
+        full = f["density"][...]
+    assert full.shape == (16, 16, 16)
+    for i, s in enumerate(cases):
+        with h5py.File(tmp_path / f"d{i}" / "electron_000000.h5", "r") as f:
+            got = f["density"][...]
+        np.testing.assert_array_equal(got, full[_as_explicit(s)])
+    with h5py.File(tmp_path / "f0" / "000000.h5", "r") as f:
+        assert f["rho"].shape == (16, 16, 1)

