@@ -1,0 +1,96 @@
+"""Host-side re-capacity (reference core/particles.py:141-193 extend/prune
+analog): capacities grow automatically between jitted steps, so a QED
+cascade outgrowing the initial photon capacity loses nothing (VERDICT r1
+item 3 acceptance)."""
+import numpy as np
+import pytest
+
+from lambdapic_tpu import Electron, Photon, Simulation
+from lambdapic_tpu.constants import c, e, hbar, m_e
+from lambdapic_tpu.core.species import _ALL_SPECIES
+
+
+@pytest.fixture(autouse=True)
+def clear_species_registry():
+    _ALL_SPECIES.clear()
+    yield
+    _ALL_SPECIES.clear()
+
+
+def test_grow_capacity_preserves_state():
+    """Padding the slot axis with dead slots is state-preserving: fields
+    and alive particles identical before/after a manual grow."""
+    ele = Electron()
+    bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
+    sim = Simulation(nx=32, ny=32, dx=1e-7, dy=1e-7, npatch_x=2, npatch_y=2,
+                     boundary_conditions=bc, random_seed=1,
+                     precision="double", recap_interval=0)
+    sim.add_species([ele])
+    sim.initialize()
+    n = 300
+    rng = np.random.default_rng(0)
+    coords = {"x": rng.uniform(0, 3.1e-6, n), "y": rng.uniform(0, 3.1e-6, n)}
+    attrs = {"w": np.ones(n), "ux": rng.normal(size=n),
+             "uy": rng.normal(size=n), "uz": np.zeros(n)}
+    attrs["inv_gamma"] = 1 / np.sqrt(1 + attrs["ux"]**2 + attrs["uy"]**2)
+    sim.set_particles_global(0, coords, attrs)
+    sim.run(nsteps=2)
+    before_p = sim.get_particles(0)
+    before_f = sim.get_field("ey")
+    old_cap = sim._species_static[0].cap
+
+    sim._grow_capacity(0, old_cap * 2)
+    sim._build_stepper(sim._active_lasers or [])
+    assert sim._species_static[0].cap >= old_cap * 2
+    after_p = sim.get_particles(0)
+    np.testing.assert_array_equal(np.sort(before_p["x"]),
+                                  np.sort(after_p["x"]))
+    np.testing.assert_array_equal(before_f, sim.get_field("ey"))
+
+    # and the grown state still steps correctly
+    sim.run(nsteps=2)
+    assert sim.npart_alive[0] == n
+    assert np.isfinite(sim.get_field("ey")).all()
+
+
+def test_qed_cascade_grows_photon_capacity_zero_loss():
+    """Photon population grows ~10x beyond the initial capacity with no
+    user-supplied capacity= and zero lost newborns."""
+    pho = Photon()               # capacity picked automatically (128 min)
+    ele = Electron(radiation="photons")
+    ele.set_photon(pho)
+    bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
+    sim = Simulation(nx=16, ny=16, dx=1e-7, dy=1e-7, npatch_x=1, npatch_y=1,
+                     boundary_conditions=bc, random_seed=5,
+                     precision="double", recap_interval=1,
+                     recap_threshold=0.5)
+    sim.add_species([ele, pho])
+    sim.initialize()
+    cap0 = sim._species_static[1].cap
+
+    n = 1200
+    gamma = 2000.0
+    ux = np.sqrt(gamma**2 - 1)
+    rng = np.random.default_rng(0)
+    coords = {"x": rng.uniform(0.1e-6, 1.5e-6, n),
+              "y": rng.uniform(0.1e-6, 1.5e-6, n)}
+    attrs = {"w": np.ones(n), "ux": np.full(n, ux), "uy": np.zeros(n),
+             "uz": np.zeros(n), "inv_gamma": np.full(n, 1 / gamma)}
+    sim.set_particles_global(0, coords, attrs)
+    # moderate chi so the per-step photon influx stays below the initial
+    # headroom (between-step re-capacity cannot cover a single-step burst
+    # larger than the current free space)
+    chi = 0.25
+    bz = chi / (e * hbar / (m_e**2 * c**3) * c * ux)
+    sim.set_field("bz", np.full((16, 16), bz))
+
+    sim.run(nsteps=40)
+
+    n_ph = sim.npart_alive[1]
+    lost = int(np.asarray(sim.state.particles[1].overflow).sum())
+    new_cap = sim._species_static[1].cap
+    assert n_ph > 10 * cap0, (n_ph, cap0)
+    assert lost == 0, f"{lost} photons lost despite re-capacity"
+    assert new_cap > cap0
+    # electrons unaffected
+    assert sim.npart_alive[0] == n
