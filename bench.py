@@ -94,6 +94,23 @@ def build(config, args):
                          precision="single", **tiled_kw)
         sim.add_species([ele, pro, pho])
         cbs = [SimpleLaser2D(a0=300, w0=3 * um, ctau=8 * um)]
+    elif config == "collision":
+        # collisional laser-target: same layout as laser-target with
+        # e-e / e-i / i-i binary collisions enabled (varying Coulomb log)
+        dx = 0.8 * um / 16
+        Lx = args.nx * dx
+
+        def density(x, y):
+            return np.where(x > Lx / 3, 10 * nc, 0.0)
+
+        ele = Electron(density=density, ppc=args.ppc)
+        pro = Proton(density=density, ppc=args.ppc)
+        sim = Simulation(nx=args.nx, ny=args.ny, dx=dx, dy=dx,
+                         npatch_x=1, npatch_y=1, random_seed=0,
+                         precision="single", **tiled_kw)
+        sim.add_species([ele, pro])
+        sim.add_collision([[ele, ele, pro]], lnLambda=0.0)
+        cbs = [SimpleLaser2D(a0=30, w0=3 * um, ctau=8 * um)]
     elif config == "laser-target-3d":
         n3 = max(args.nx // 4, 64)
         dx = 0.8 * um / 12
@@ -119,7 +136,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="laser-target",
                     choices=["laser-target", "vacuum", "lwfa", "qed",
-                             "laser-target-3d"])
+                             "collision", "laser-target-3d"])
     ap.add_argument("--nx", type=int, default=768)
     ap.add_argument("--ny", type=int, default=768)
     ap.add_argument("--ppc", type=int, default=10,

@@ -15,15 +15,19 @@ iterators):
 - inter-species: rank r of each side pair for r < min(n1, n2);
   dt_corr = max(n1, n2).
 
-Documented divergences from the reference (exact when cell counts match):
-- odd intra-species cells leave one randomly-chosen particle uncollided per
-  step instead of re-pairing the first particle (which would need a
-  sequential in-cell update, cpu.py:40-70);
-- inter-species pairs are capped at min(n1,n2) per cell instead of
-  max(n1,n2) with weight-corrected repeats (cpu.py:103-134) — identical for
-  quasi-neutral cells, fewer (time-corrected) samples when densities differ.
-Both keep per-pair momentum/energy conservation exactly and are unbiased
-over steps; they avoid scatter conflicts so every pair updates in parallel.
+Pairing matches the reference exactly (cpu.py:20-134):
+- intra-species: rank 2i pairs rank 2i+1; odd cells re-pair the LAST
+  particle with the FIRST in a second parallel pass (the reference's
+  sequential last pair), with w_corr = 0.5 on the first and last pairs;
+  dt_corr = 2*npairs - 1.
+- inter-species: npairs = max(n1, n2) per cell; the larger side pairs
+  once each while the smaller side repeats cyclically with
+  w_corr = 1/ceil or 1/floor of the count ratio (cpu.py:103-134).
+  Repeats are executed as sequential ROUNDS (a lax.while_loop of
+  conflict-free parallel passes, one per repeat of the smaller side) so
+  every small-side particle sees the previous round's momenta, exactly
+  like the reference's in-cell sequential iteration. Round count is the
+  worst cell's ceil(nbig/nsmall) — 1 for quasi-neutral cells.
 """
 from __future__ import annotations
 
@@ -294,33 +298,38 @@ class Collision:
         data = out[ispec]
         m, q = self.cfg.species_mq[ispec]
         cap = perm.shape[0]
+        dtype = data["ux"].dtype
         rank = jnp.arange(cap) - jnp.take(starts, cell_s, mode="clip")
         n_cell = jnp.take(counts, cell_s, mode="clip")
         ncells = counts.shape[0]
         in_cell = cell_s < ncells
+        odd = (n_cell % 2 == 1) & (n_cell >= 3)
+        d2_cell = jnp.take(inv_d2, jnp.clip(cell_s, 0, ncells - 1))
+        # dt correction (reference cpu.py:32-34): 2*npairs-1 =
+        # n even -> n-1, odd -> n
+        dt_corr = jnp.where(n_cell % 2 == 0, n_cell - 1, n_cell).astype(
+            dtype)
+
+        # pass 1: rank 2i with rank 2i+1 (reference pairs 0..npairs-2;
+        # w_corr = 0.5 on the FIRST pair of odd cells, cpu.py:63-68)
         is_p1 = in_cell & (rank % 2 == 0) & (rank + 1 < n_cell)
         i1 = jnp.arange(cap)
         i2 = jnp.minimum(i1 + 1, cap - 1)
         g1 = jnp.take(perm, i1)
         g2 = jnp.take(perm, i2)
-
-        # dt correction (reference cpu.py:32-34): n even -> n-1, odd -> n
-        dt_corr = jnp.where(n_cell % 2 == 0, n_cell - 1, n_cell).astype(
-            data["ux"].dtype)
+        wc = jnp.where(odd & (rank == 0), 0.5, 1.0).astype(dtype)
 
         take1 = lambda k: jnp.take(data[k], g1)
         take2 = lambda k: jnp.take(data[k], g2)
         k1, k2, k3 = jax.random.split(key, 3)
-        u_s = jax.random.uniform(k1, (cap,), dtype=data["ux"].dtype)
-        u_acc = jax.random.uniform(k2, (cap,), dtype=data["ux"].dtype)
-        phi = jax.random.uniform(k3, (cap,), dtype=data["ux"].dtype,
-                                 maxval=2 * pi)
-        d2_cell = jnp.take(inv_d2, jnp.clip(cell_s, 0, ncells - 1))
+        u_s = jax.random.uniform(k1, (cap,), dtype=dtype)
+        u_acc = jax.random.uniform(k2, (cap,), dtype=dtype)
+        phi = jax.random.uniform(k3, (cap,), dtype=dtype, maxval=2 * pi)
         new1, new2 = _pair_collide(
             take1("ux"), take1("uy"), take1("uz"), take1("inv_gamma"),
-            take1("w"), m, q,
+            take1("w") * wc, m, q,
             take2("ux"), take2("uy"), take2("uz"), take2("inv_gamma"),
-            take2("w"), m, q,
+            take2("w") * wc, m, q,
             is_p1, dt_corr, self.cfg.lnLambda, d2_cell,
             self.cfg.cell_vol, dt, u_s, u_acc, phi)
         for j, name in enumerate(("ux", "uy", "uz", "inv_gamma")):
@@ -329,7 +338,47 @@ class Collision:
             arr = arr.at[jnp.where(is_p1, g2, cap)].set(new2[j], mode="drop")
             data[name] = arr
 
+        # pass 2: odd cells re-pair the LAST particle with the FIRST
+        # (reference's sequential last pair, cpu.py:49-58; w_corr = 0.5 on
+        # both, cpu.py:63-68). Runs after pass 1 so the first particle's
+        # momenta are the post-pair-0 values, matching the reference's
+        # in-cell sequential order.
+        is_last = in_cell & odd & (rank == n_cell - 1)
+        first_pos = jnp.take(starts, jnp.clip(cell_s, 0, ncells - 1))
+        g2b = jnp.take(perm, jnp.clip(first_pos, 0, cap - 1))
+        take2b = lambda k: jnp.take(data[k], g2b)
+        k4, k5, k6 = jax.random.split(jax.random.fold_in(key, 7), 3)
+        u_s2 = jax.random.uniform(k4, (cap,), dtype=dtype)
+        u_acc2 = jax.random.uniform(k5, (cap,), dtype=dtype)
+        phi2 = jax.random.uniform(k6, (cap,), dtype=dtype, maxval=2 * pi)
+        take1b = lambda k: jnp.take(data[k], g1)
+        half = jnp.asarray(0.5, dtype)
+        new1b, new2b = _pair_collide(
+            take1b("ux"), take1b("uy"), take1b("uz"), take1b("inv_gamma"),
+            take1b("w") * half, m, q,
+            take2b("ux"), take2b("uy"), take2b("uz"), take2b("inv_gamma"),
+            take2b("w") * half, m, q,
+            is_last, dt_corr, self.cfg.lnLambda, d2_cell,
+            self.cfg.cell_vol, dt, u_s2, u_acc2, phi2)
+        for j, name in enumerate(("ux", "uy", "uz", "inv_gamma")):
+            arr = data[name]
+            arr = arr.at[jnp.where(is_last, g1, cap)].set(new1b[j],
+                                                          mode="drop")
+            arr = arr.at[jnp.where(is_last, g2b, cap)].set(new2b[j],
+                                                           mode="drop")
+            data[name] = arr
+
     def _inter(self, pair, views, out, inv_d2, dt, key):
+        """Inter-species pairing with the reference's max(n1,n2) repeats
+        (cpu.py:71-134): per cell, every particle of the LARGER side
+        collides exactly once; the smaller side repeats cyclically with
+        w_corr = 1/ceil(ratio) for the first nbig%nsmall small-ranks and
+        1/floor(ratio) for the rest; dt_corr = max(n1,n2). Repeats run as
+        sequential rounds (round r pairs big-side ranks [r*nsmall,
+        (r+1)*nsmall)) so each round is conflict-free and later rounds see
+        earlier rounds' momenta — the reference's in-cell sequential
+        order. Cells where n1 >= n2 and cells where n2 > n1 are handled by
+        two disjoint masked sub-passes per round."""
         i1, i2 = pair.ispec1, pair.ispec2
         perm1, cell1, starts1, counts1, _, _ = views[i1]
         perm2, cell2, starts2, counts2, _, _ = views[i2]
@@ -340,32 +389,106 @@ class Collision:
         cap1 = perm1.shape[0]
         cap2 = perm2.shape[0]
         ncells = counts1.shape[0]
+        dtype = d1["ux"].dtype
+        w1_full = d1["w"]
+        w2_full = d2["w"]
 
-        # pair rank r of species1 with rank r of species2 for r < min(n1,n2)
-        rank1 = jnp.arange(cap1) - jnp.take(starts1, cell1, mode="clip")
-        n1 = jnp.take(counts1, cell1, mode="clip")
-        n2 = jnp.take(counts2, jnp.clip(cell1, 0, ncells - 1), mode="clip")
-        valid = (cell1 < ncells) & (rank1 < jnp.minimum(n1, n2))
-        pos2 = jnp.take(starts2, jnp.clip(cell1, 0, ncells - 1)) + rank1
-        g1 = perm1
-        g2 = jnp.take(perm2, jnp.clip(pos2, 0, cap2 - 1))
-        dt_corr = jnp.maximum(n1, n2).astype(d1["ux"].dtype)
+        def side_view(perm, cell, starts_own, counts_own, counts_oth,
+                      starts_oth):
+            cap = perm.shape[0]
+            rank = jnp.arange(cap) - jnp.take(starts_own, cell, mode="clip")
+            n_own = jnp.take(counts_own, cell, mode="clip")
+            cc = jnp.clip(cell, 0, ncells - 1)
+            n_oth = jnp.take(counts_oth, cc, mode="clip")
+            start_oth = jnp.take(starts_oth, cc)
+            in_cell = cell < ncells
+            d2c = jnp.take(inv_d2, cc)
+            return rank, n_own, n_oth, start_oth, in_cell, d2c
 
-        t1 = lambda k: jnp.take(d1[k], g1)
-        t2 = lambda k: jnp.take(d2[k], g2)
-        k1, k2, k3 = jax.random.split(key, 3)
-        u_s = jax.random.uniform(k1, (cap1,), dtype=d1["ux"].dtype)
-        u_acc = jax.random.uniform(k2, (cap1,), dtype=d1["ux"].dtype)
-        phi = jax.random.uniform(k3, (cap1,), dtype=d1["ux"].dtype,
-                                 maxval=2 * pi)
-        d2_cell = jnp.take(inv_d2, jnp.clip(cell1, 0, ncells - 1))
-        new1, new2 = _pair_collide(
-            t1("ux"), t1("uy"), t1("uz"), t1("inv_gamma"), t1("w"), m1, q1,
-            t2("ux"), t2("uy"), t2("uz"), t2("inv_gamma"), t2("w"), m2, q2,
-            valid, dt_corr, self.cfg.lnLambda, d2_cell,
-            self.cfg.cell_vol, dt, u_s, u_acc, phi)
+        (rank1, n1, n2o, start2o, in1, d2c1) = side_view(
+            perm1, cell1, starts1, counts1, counts2, starts2)
+        (rank2, n2, n1o, start1o, in2, d2c2) = side_view(
+            perm2, cell2, starts2, counts2, counts1, starts1)
+
+        # worst-cell number of repeat rounds (1 for quasi-neutral cells)
+        nbig_c = jnp.maximum(counts1, counts2)
+        nsml_c = jnp.minimum(counts1, counts2)
+        rounds_c = jnp.where((nsml_c > 0) & (nbig_c > 0),
+                             (nbig_c + nsml_c - 1) // nsml_c, 0)
+        max_rounds = jnp.max(rounds_c).astype(jnp.int32)
+
+        def w_corr_of(small_rank, nbig, nsmall):
+            fl = nbig // jnp.maximum(nsmall, 1)
+            extra = nbig % jnp.maximum(nsmall, 1)
+            return jnp.where(small_rank < extra,
+                             1.0 / (fl + 1), 1.0 / jnp.maximum(fl, 1)
+                             ).astype(dtype)
+
+        def sub_pass(rkey, r, mom_big, mom_sml, w_big, w_sml,
+                     perm_big, g_small_of, active, small_rank,
+                     nbig, nsmall, d2c, mq_big, mq_sml):
+            """One round's conflict-free pass over the big side's slots."""
+            cap = perm_big.shape[0]
+            g1 = perm_big
+            g2 = g_small_of(small_rank)
+            wc = w_corr_of(small_rank, nbig, nsmall)
+            dt_corr = nbig.astype(dtype)
+            tb = lambda a: jnp.take(a, g1)
+            ts = lambda a: jnp.take(a, g2)
+            ka, kb, kc = jax.random.split(rkey, 3)
+            u_s = jax.random.uniform(ka, (cap,), dtype=dtype)
+            u_acc = jax.random.uniform(kb, (cap,), dtype=dtype)
+            phi = jax.random.uniform(kc, (cap,), dtype=dtype,
+                                     maxval=2 * pi)
+            new_b, new_s = _pair_collide(
+                tb(mom_big[0]), tb(mom_big[1]), tb(mom_big[2]),
+                tb(mom_big[3]), tb(w_big) * wc, mq_big[0], mq_big[1],
+                ts(mom_sml[0]), ts(mom_sml[1]), ts(mom_sml[2]),
+                ts(mom_sml[3]), ts(w_sml) * wc, mq_sml[0], mq_sml[1],
+                active, dt_corr, self.cfg.lnLambda, d2c,
+                self.cfg.cell_vol, dt, u_s, u_acc, phi)
+            cap_b = mom_big[0].shape[0]
+            cap_s = mom_sml[0].shape[0]
+            mom_big = tuple(
+                a.at[jnp.where(active, g1, cap_b)].set(v, mode="drop")
+                for a, v in zip(mom_big, new_b))
+            mom_sml = tuple(
+                a.at[jnp.where(active, g2, cap_s)].set(v, mode="drop")
+                for a, v in zip(mom_sml, new_s))
+            return mom_big, mom_sml
+
+        mom1 = (d1["ux"], d1["uy"], d1["uz"], d1["inv_gamma"])
+        mom2 = (d2["ux"], d2["uy"], d2["uz"], d2["inv_gamma"])
+
+        def body(carry):
+            r, mom1, mom2 = carry
+            rkey = jax.random.fold_in(key, r)
+            kA, kB = jax.random.split(rkey)
+            # sub-pass A: cells with n1 >= n2 iterate species-1 slots
+            srA = rank1 - r * n2o
+            actA = in1 & (n1 >= n2o) & (n2o > 0) & (srA >= 0) & (srA < n2o) \
+                & (rank1 < n1)
+            mom1, mom2 = sub_pass(
+                kA, r, mom1, mom2, w1_full, w2_full, perm1,
+                lambda sr: jnp.take(perm2, jnp.clip(start2o + sr, 0,
+                                                    cap2 - 1)),
+                actA, jnp.maximum(srA, 0), n1, n2o, d2c1,
+                (m1, q1), (m2, q2))
+            # sub-pass B: cells with n2 > n1 iterate species-2 slots
+            srB = rank2 - r * n1o
+            actB = in2 & (n1o < n2) & (n1o > 0) & (srB >= 0) & (srB < n1o) \
+                & (rank2 < n2)
+            mom2, mom1 = sub_pass(
+                kB, r, mom2, mom1, w2_full, w1_full, perm2,
+                lambda sr: jnp.take(perm1, jnp.clip(start1o + sr, 0,
+                                                    cap1 - 1)),
+                actB, jnp.maximum(srB, 0), n2, n1o, d2c2,
+                (m2, q2), (m1, q1))
+            return r + 1, mom1, mom2
+
+        r0 = jnp.int32(0)
+        _, mom1, mom2 = jax.lax.while_loop(
+            lambda c: c[0] < max_rounds, body, (r0, mom1, mom2))
         for j, name in enumerate(("ux", "uy", "uz", "inv_gamma")):
-            d1[name] = d1[name].at[jnp.where(valid, g1, cap1)].set(
-                new1[j], mode="drop")
-            d2[name] = d2[name].at[jnp.where(valid, g2, cap2)].set(
-                new2[j], mode="drop")
+            d1[name] = mom1[j]
+            d2[name] = mom2[j]

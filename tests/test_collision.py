@@ -195,3 +195,83 @@ def test_collision_in_tiled_simulation(tiling):
     # the collisionless one (momenta exchanged within cells)
     assert not np.allclose(np.sort(p0["ux"]),
                            np.sort(sim_nc.get_particles(0)["ux"]))
+
+
+def _cell_particles(n, cell_xy=(0, 0), seed=0, w=1e10):
+    """n particles all inside one cell, relativistic thermal momenta."""
+    rng = np.random.default_rng(seed)
+    ux, uy, uz = (rng.normal(size=n) * 2, rng.normal(size=n) * 2,
+                  rng.normal(size=n) * 2)
+    data = {
+        "x": jnp.asarray(cell_xy[0] + rng.uniform(-0.4, 0.4, n)),
+        "y": jnp.asarray(cell_xy[1] + rng.uniform(-0.4, 0.4, n)),
+        "w": jnp.full(n, w),
+        "ux": jnp.asarray(ux), "uy": jnp.asarray(uy), "uz": jnp.asarray(uz),
+        "inv_gamma": jnp.asarray(1 / np.sqrt(1 + ux**2 + uy**2 + uz**2)),
+    }
+    return data, jnp.ones(n, bool)
+
+
+def test_intra_odd_cell_repairing():
+    """Odd cells re-pair the last particle with the first (reference
+    cpu.py:49-58): with 3 particles in a cell ALL THREE scatter."""
+    grid = make_grid(2, 2)
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 0),),
+                          species_mq=((m_e, -qe),),
+                          cell_vol=1e-18, lnLambda=20.0)
+    col = Collision(cfg, grid)
+    data, alive = _cell_particles(3)
+    e0 = energy(data, alive, m_e)
+    out = col.apply_local({0: (data, alive)}, dt=1e-13,
+                          key=jax.random.PRNGKey(3))[0]
+    changed = ~np.isclose(np.asarray(out["ux"]), np.asarray(data["ux"]))
+    assert changed.all(), f"only {changed.sum()}/3 collided in an odd cell"
+    np.testing.assert_allclose(energy(out, alive, m_e), e0, rtol=1e-12)
+
+
+def test_inter_asymmetric_counts_all_big_side_collide():
+    """max(n1,n2) pairing (reference cpu.py:71-134): with 9 vs 3 particles
+    in a cell, all 9 big-side particles collide (3 sequential rounds) and
+    equal-weight energy conservation is exact."""
+    grid = make_grid(2, 2)
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 1),),
+                          species_mq=((m_e, -qe), (m_e, -qe)),
+                          cell_vol=1e-18, lnLambda=20.0)
+    col = Collision(cfg, grid)
+    d1, a1 = _cell_particles(9, seed=1)
+    d2, a2 = _cell_particles(3, seed=2)
+    e0 = energy(d1, a1, m_e) + energy(d2, a2, m_e)
+    out = col.apply_local({0: (d1, a1), 1: (d2, a2)}, dt=1e-13,
+                          key=jax.random.PRNGKey(4))
+    ch1 = ~np.isclose(np.asarray(out[0]["ux"]), np.asarray(d1["ux"]))
+    ch2 = ~np.isclose(np.asarray(out[1]["ux"]), np.asarray(d2["ux"]))
+    assert ch1.all(), f"only {ch1.sum()}/9 big-side particles collided"
+    assert ch2.all(), f"only {ch2.sum()}/3 small-side particles collided"
+    e1 = energy(out[0], a1, m_e) + energy(out[1], a2, m_e)
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
+
+
+def test_inter_mixed_orientation_cells():
+    """One call handles cells where n1 > n2 and cells where n2 > n1
+    (the two masked sub-passes are disjoint)."""
+    grid = make_grid(2, 2)
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 1),),
+                          species_mq=((m_e, -qe), (m_e, -qe)),
+                          cell_vol=1e-18, lnLambda=20.0)
+    col = Collision(cfg, grid)
+    dA1, _ = _cell_particles(6, cell_xy=(0, 0), seed=3)
+    dB1, _ = _cell_particles(2, cell_xy=(1, 1), seed=4)
+    dA2, _ = _cell_particles(2, cell_xy=(0, 0), seed=5)
+    dB2, _ = _cell_particles(6, cell_xy=(1, 1), seed=6)
+    d1 = {k: jnp.concatenate([dA1[k], dB1[k]]) for k in dA1}
+    d2 = {k: jnp.concatenate([dA2[k], dB2[k]]) for k in dA2}
+    a1 = jnp.ones(8, bool)
+    a2 = jnp.ones(8, bool)
+    e0 = energy(d1, a1, m_e) + energy(d2, a2, m_e)
+    out = col.apply_local({0: (d1, a1), 1: (d2, a2)}, dt=1e-13,
+                          key=jax.random.PRNGKey(5))
+    ch1 = ~np.isclose(np.asarray(out[0]["ux"]), np.asarray(d1["ux"]))
+    ch2 = ~np.isclose(np.asarray(out[1]["ux"]), np.asarray(d2["ux"]))
+    assert ch1.all() and ch2.all()
+    e1 = energy(out[0], a1, m_e) + energy(out[1], a2, m_e)
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
