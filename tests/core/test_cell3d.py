@@ -178,7 +178,10 @@ def test_migrate_cell3d_rebins(exact):
     if nlost == 0:
         np.testing.assert_allclose(got, want, atol=1e-12)
     else:
-        from collections import Counter
-        cg = Counter(np.round(got, 9))
-        cw = Counter(np.round(want, 9))
-        assert all(cw[k] >= v for k, v in cg.items())
+        # collisions MERGE (weight-conserving) rather than drop: merged
+        # positions are weight-averaged, so check conservation instead
+        lead = (0,) * (np.asarray(d2["w"]).ndim - a2.ndim)
+        w2 = np.asarray(d2["w"])[lead]
+        w0 = np.asarray(binned["w"])
+        np.testing.assert_allclose(w2[a2].sum(), w0[alive].sum(),
+                                   rtol=1e-12)
