@@ -19,6 +19,7 @@ from typing import Callable, List, Optional, Union
 
 import numpy as np
 
+from ..parallel import distributed as dist
 from ..simulation.callbacks import Callback
 from ..utils.logger import logger
 
@@ -115,12 +116,18 @@ class SaveFieldsToHDF5(Callback):
         dims = (sim.nx, sim.ny) if sim.dimension == 2 else \
             (sim.nx, sim.ny, sim.nz)
         nslice = _normalize_slice(sim.dimension, self.slice, dims)
+        # gather on every process (collective), write on main only
+        gathered = {}
+        for comp in self.components:
+            data = sim.get_field(comp)
+            if nslice is not None:
+                data = data[nslice]
+            gathered[comp] = data
+        if not dist.is_main_process():
+            return
         filename = self.prefix / f"{sim.itime:06d}.h5"
         with h5py.File(filename, "w") as f:
-            for comp in self.components:
-                data = sim.get_field(comp)
-                if nslice is not None:
-                    data = data[nslice]
+            for comp, data in gathered.items():
                 f.create_dataset(comp, data=np.asarray(data, dtype="f8"))
             _write_domain_attrs(f, sim)
             if nslice is not None:
@@ -153,6 +160,8 @@ class SaveSpeciesDensityToHDF5(Callback):
 
     def _call(self, sim):
         dens = self._density(sim)
+        if not dist.is_main_process():
+            return
         filename = self.prefix / f"{self.species.name}_{sim.itime:06d}.h5"
         dims = (sim.nx, sim.ny) if sim.dimension == 2 else \
             (sim.nx, sim.ny, sim.nz)
@@ -213,6 +222,8 @@ class SaveParticlesToHDF5(Callback):
 
     def _call(self, sim):
         parts = sim.get_particles(self.species.ispec)
+        if not dist.is_main_process():
+            return
         attrs = self.attrs
         if attrs is None:
             attrs = [k for k in parts if k not in ("id_lo", "id_hi")]

@@ -47,6 +47,17 @@ class PlotFields(Callback):
         self.dpi = dpi
 
     def _call(self, sim) -> None:
+        from ..parallel import distributed as dist
+
+        # gather on every process (collective), render on main only
+        gathered = []
+        for spec in self.fields:
+            data = spec["field"]
+            if isinstance(data, str):
+                data = sim.get_field(data)
+            gathered.append(np.asarray(data))
+        if not dist.is_main_process():
+            return
         try:
             import matplotlib
             matplotlib.use("Agg")
@@ -57,11 +68,8 @@ class PlotFields(Callback):
 
         fig, ax = plt.subplots(figsize=(8, 6))
         extent = [0, sim.Lx * 1e6, 0, sim.Ly * 1e6]
-        for spec in self.fields:
-            data = spec["field"]
-            if isinstance(data, str):
-                data = sim.get_field(data)
-            data = np.asarray(data) * spec.get("scale", 1.0)
+        for spec, data in zip(self.fields, gathered):
+            data = data * spec.get("scale", 1.0)
             if data.ndim == 3:
                 data = data[:, :, data.shape[2] // 2]
             cmap_name = spec.get("cmap", "viridis")

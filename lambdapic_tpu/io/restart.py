@@ -23,7 +23,9 @@ from ..utils.logger import logger
 
 def _state_to_numpy(state):
     import jax
-    return jax.tree.map(lambda a: np.asarray(a), state)
+
+    from ..parallel import distributed as dist
+    return jax.tree.map(dist.to_host, state)
 
 
 class RestartDump(Callback):
@@ -65,6 +67,10 @@ class RestartDump(Callback):
             self._dump_requested = False
 
     def _call(self, sim) -> None:
+        from ..parallel import distributed as dist
+        payload_state = _state_to_numpy(sim.state)
+        if not dist.is_main_process():
+            return
         ckpt_dir = self.out_dir / f"ckpt_{sim.itime:06d}"
         ckpt_dir.mkdir(parents=True, exist_ok=True)
         payload = {
@@ -72,7 +78,7 @@ class RestartDump(Callback):
             "time": sim.time,
             "window_offset": sim._window_offset,
             "xmin_pml_removed": sim._xmin_pml_removed,
-            "state": _state_to_numpy(sim.state),
+            "state": payload_state,
             "species_caps": [s.cap for s in sim._species_static],
         }
         with open(ckpt_dir / "state.pkl", "wb") as f:
@@ -95,6 +101,7 @@ class RestartDump(Callback):
         needed and its state replaced."""
         import jax
 
+        from ..parallel import distributed as dist
         from ..parallel import mesh as pmesh
 
         path = Path(path)
@@ -116,10 +123,10 @@ class RestartDump(Callback):
         def put(a):
             if a.ndim >= sim.grid.dimension and a.shape[: sim.grid.dimension] \
                     == sim.grid.mesh_shape and a.ndim == sim.grid.dimension + 1:
-                return jax.device_put(a, psh)
+                return dist.put_global(a, psh)
             if a.shape == sim.grid.mesh_shape:
-                return jax.device_put(a, ssh)
-            return jax.device_put(a, fsh)
+                return dist.put_global(a, ssh)
+            return dist.put_global(a, fsh)
 
         sim.state = jax.tree.map(put, state_np)
         # capacities from the checkpoint override the freshly-initialized ones

@@ -426,6 +426,7 @@ class Simulation:
 
         self.state = SimulationState(fields=fields, particles=tuple(parts))
         self._init_qed()
+        dist.warm_collectives(self.mesh)
         self.initialized = True
         logger.info("Initialization complete")
 
