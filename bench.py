@@ -35,9 +35,18 @@ def build(config, args):
     else:
         tiling = tuple(int(v) for v in args.tiling.split(","))
     rebin = args.rebin if (tiling is not None and tiling != "cell") else 1
-    # tile halo must cover R steps of CFL drift (see Simulation validation)
+    # tile halo must cover R steps of CFL drift (see Simulation validation);
+    # the cell engine's stencils span +-2, so n_guard=2 suffices and keeps
+    # the pallas halo windows minimal
     import math
-    n_guard = 3 if rebin <= 1 else 2 + math.ceil(rebin * 0.95 / 2**0.5)
+    if tiling == "cell":
+        n_guard = 2
+    elif rebin <= 1:
+        n_guard = 3
+    else:
+        n_guard = 2 + math.ceil(rebin * 0.95 / 2**0.5)
+    if getattr(args, "nguard", None):
+        n_guard = args.nguard
     tiled_kw = dict(tiling=tiling, rebin_interval=rebin, n_guard=n_guard,
                     particle_capacity_factor=args.capacity_factor,
                     cell_migration=args.migration)
@@ -121,11 +130,15 @@ def build(config, args):
 
         ele = Electron(density=density, ppc=max(args.ppc // 4, 1))
         pro = Proton(density=density, ppc=max(args.ppc // 4, 1))
+        kw3 = dict(tiled_kw)
+        kw3["tiling"] = "cell" if tiling == "cell" else None
+        kw3["rebin_interval"] = 1
+        if kw3["tiling"] is None:
+            kw3["n_guard"] = 3
         sim = Simulation3D(nx=n3, ny=n3, nz=n3, dx=dx, dy=dx, dz=dx,
                            npatch_x=1, npatch_y=1, npatch_z=1,
-                           random_seed=0, precision="single",
-                           tiling=("cell" if tiling == "cell" else None))
-        sim.add_species([ele, pro])
+                           random_seed=0, precision="single", **kw3)
+        sim.add_species([ele, pro][:getattr(args, "nspecies", 2)])
         cbs = [SimpleLaser3D(a0=10, w0=3 * um, ctau=5 * um)]
     else:
         raise SystemExit(f"unknown config {config}")
@@ -148,16 +161,25 @@ def main():
                     help="'cell' = cell-binned engine (default; pallas "
                          "kernels on TPU), 'TX,TY' = tile-binned dense "
                          "path, or 'none' = scatter path")
-    ap.add_argument("--chunk", type=int, default=1,
+    ap.add_argument("--chunk", type=str, default="auto",
                     help="fuse up to N steps per dispatch (lax.scan); "
-                         "1 = per-step dispatch (pipelines fine through "
-                         "the async queue and compiles 8x faster)")
+                         "'auto' (default) = Simulation auto mode (16 on "
+                         "TPU, per-step on CPU); 1 = per-step dispatch "
+                         "(pipelines through the async queue but pays the "
+                         "~28 ms relay dispatch floor per step)")
     ap.add_argument("--rebin", type=int, default=4,
                     help="tiled re-binning interval (migration every R "
                          "steps; widens the tile halo accordingly)")
     ap.add_argument("--migration", type=str, default="fast",
                     choices=["fast", "exact"],
                     help="cell-engine re-binning scheme")
+    ap.add_argument("--nguard", type=int, default=None,
+                    help="override guard width (None = config default)")
+    ap.add_argument("--nspecies", type=int, default=2,
+                    help="species count for ablation (laser-target-3d)")
+    ap.add_argument("--recap", type=int, default=None,
+                    help="override recap_interval (None = Simulation "
+                         "default)")
     ap.add_argument("--capacity-factor", type=float, default=1.6,
                     help="slot headroom over initial max occupancy "
                          "(cell/tiled layouts); overflow losses are "
@@ -175,10 +197,14 @@ def main():
         args.warmup = 1
 
     sim, cbs = build(args.config, args)
-    sim.step_chunk = args.chunk
-    if args.chunk > 1:
-        # compile every chunk-size kernel outside the timed region
-        args.warmup = max(args.warmup, args.chunk + 4 + 1)
+    sim.step_chunk = args.chunk if args.chunk == "auto" else int(args.chunk)
+    if args.recap is not None:
+        sim.recap_interval = args.recap
+    chunk_eff = sim._chunk_limit()
+    if chunk_eff > 1:
+        # compile every chunk-size kernel (16, 4, and the per-step tail)
+        # outside the timed region
+        args.warmup = max(args.warmup, chunk_eff + 4 + 1)
     args.warmup = max(args.warmup, getattr(sim, "rebin_interval", 1) + 1)
 
     sim.run(nsteps=args.warmup, callbacks=cbs)

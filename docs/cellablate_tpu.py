@@ -16,11 +16,15 @@ CONFIG = os.environ.get("ABL_CONFIG", "laser-target")
 def run_case(label, steps=15, **switches):
     args = types.SimpleNamespace(nx=768, ny=768, ppc=10, tiling="cell",
                                  rebin=1, steps=steps, warmup=2, chunk=1,
-                                 capacity_factor=1.6, migration="fast")
+                                 capacity_factor=1.6, migration="fast",
+                                 nspecies=int(os.environ.get("ABL_NSPECIES",
+                                                             2)))
     if CONFIG == "laser-target-3d":
         args.nx = 512          # build() maps to n3 = 128
         args.ppc = 8
     sim, cbs = B.build(CONFIG, args)
+    sim.recap_interval = 0
+    sim.step_chunk = 1     # per-step dispatch: ablation timings stay comparable
     for k, v in switches.items():
         sim.set_enabled(k, v)
     sim.run(nsteps=2, callbacks=cbs)
@@ -46,3 +50,5 @@ if "bare" in cases:
              interpolation=False, current_deposition=False)
 if "nodep" in cases:
     run_case("no deposit", current_deposition=False)
+if "noblock" in cases:
+    run_case("no species block", species_block=False)

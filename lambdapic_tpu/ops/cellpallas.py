@@ -59,18 +59,42 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _compile_kwargs() -> dict:
+    """interpret on CPU; on TPU raise the scoped-VMEM limit — the fused
+    kernels' ~20 payload blocks + sorted-row temporaries overflow the
+    conservative 16 MB default at the (8, 8) 3D block floor."""
+    if _use_interpret():
+        return {"interpret": True}
+    from jax.experimental.pallas import tpu as pltpu
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024)}
+
+
 def _blk(n: int, pref: int) -> int:
     """Block extent: the preferred (tile-aligned) size when it divides the
     axis, else the whole axis (full-dim blocks are always legal)."""
     return pref if n % pref == 0 else n
 
 
+def _env_blocks(name: str):
+    import os
+    v = os.environ.get(name)
+    if v:
+        a, b = (int(s) for s in v.split(","))
+        return a, b
+    return None
+
+
 def _blocks2(nx: int, ny: int) -> Tuple[int, int]:
-    return _blk(nx, 8), _blk(ny, 128)
+    pref = _env_blocks("LAMBDAPIC_BLOCKS2") or (8, 128)
+    return _blk(nx, pref[0]), _blk(ny, pref[1])
 
 
 def _blocks3(nx: int, ny: int) -> Tuple[int, int]:
-    return _blk(nx, 2), _blk(ny, 8)
+    # (8, 8) measured fastest on v5e for the 3D laser-target (58 vs 53.5
+    # Mpush/s at (2, 8); (8, 16) exceeds VMEM) — override to re-tune
+    pref = _env_blocks("LAMBDAPIC_BLOCKS3") or (8, 8)
+    return _blk(nx, pref[0]), _blk(ny, pref[1])
 
 
 def pallas_cell_ok(nloc: Tuple[int, ...], cap: int = 16) -> bool:
@@ -253,7 +277,7 @@ def fused_push_cell_2d(eb_pad, x, y, ux, uy, uz, *, q: float, m: float,
         in_specs=[wspec] + [pspec] * 5,
         out_specs=[pspec] * n_out,
         out_shape=out_shape,
-        interpret=_use_interpret(),
+        **_compile_kwargs(),
     )(ebwin, x, y, ux, uy, uz)
 
 
@@ -340,7 +364,7 @@ def deposit_cell_2d_pallas(x, y, ux, uy, uz, inv_gamma, w, *, q: float,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((nbx, nby, 4, bx + 4, by + 4),
                                        dtype),
-        interpret=_use_interpret(),
+        **_compile_kwargs(),
     )(x, y, ux, uy, uz, inv_gamma, w)
 
     return _fold_xy(rims, nx, ny, g, bx, by)
@@ -428,7 +452,7 @@ def fused_push_cell_3d(eb_pad, x, y, z, ux, uy, uz, *, q: float, m: float,
         in_specs=[wspec] + [pspec] * 6,
         out_specs=[pspec] * n_out,
         out_shape=out_shape,
-        interpret=_use_interpret(),
+        **_compile_kwargs(),
     )(ebwin, x, y, z, ux, uy, uz)
 
 
@@ -518,7 +542,7 @@ def deposit_cell_3d_pallas(x, y, z, ux, uy, uz, inv_gamma, w, *, q: float,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct(
             (nbx, nby, 4, bx + 4, by + 4, nzp), dtype),
-        interpret=_use_interpret(),
+        **_compile_kwargs(),
     )(x, y, z, ux, uy, uz, inv_gamma, w)
 
     return _fold_xy(rims, nx, ny, g, bx, by)
@@ -609,6 +633,358 @@ def sort_cells_pallas(key, payloads):
         out_specs=[spec] * (1 + len(payloads)),
         out_shape=[jax.ShapeDtypeStruct(key.shape, a.dtype)
                    for a in [key] + list(payloads)],
-        interpret=_use_interpret(),
+        **_compile_kwargs(),
     )(key, *payloads)
     return outs[0], list(outs[1:])
+
+
+# ======================================================================
+# K3-fused: per-axis migration (sort + neighbor exchange + merge) in one
+# VMEM pass
+# ======================================================================
+
+def _mig_blocks(cells: Tuple[int, ...], axis: int = 0) -> Tuple[int, int]:
+    """Block extents over (x, y) for the fused migration kernel; smaller
+    than the push/deposit blocks because the kernel holds ~3 copies of
+    every payload row (own / lo-source / hi-source).
+
+    Per-axis: the strip BlockSpec of migration axis a constrains the
+    OTHER axes' block extents to be 8-divisible (Mosaic tiling), while
+    the extent along a itself is free — so each axis call shrinks its
+    own-axis block to keep the kernel inside scoped VMEM."""
+    pref = _env_blocks("LAMBDAPIC_MIG_BLOCKS")
+    if pref is None:
+        # 3D: both extents must be 8-divisible (or full) — the main
+        # block's second-to-last dim and the strips of the other axes
+        # both demand it — so (8, 8) is the floor; the kernel raises the
+        # scoped-VMEM limit to fit
+        pref = (8, 128) if len(cells) == 2 else (8, 8)
+    return _blk(cells[0], pref[0]), _blk(cells[1], pref[1])
+
+
+def migrate_axis_fused(key, payloads, merge_idx, axis: int,
+                       strips_lo, strips_hi):
+    """One migration axis for the cell engine, fused: per-cell slot sort
+    (5-way key), ±1-cell neighbor exchange, overwrite/merge placement and
+    merge counting — one HBM read + one write per payload array, replacing
+    the separate sort kernel + 6 full-array rolls + where-merge chains
+    (measured 3D: rolls 21 ms + merges 8.5 ms + sorts 6 ms per step
+    collapse to ~7 ms).
+
+    key: (cap, *cells) int32 in {0 donor+1, 1 dead, 2 stay, 3 dead,
+    4 donor-1} (9 = invalid strip entry at open boundaries).
+    payloads: list of (cap, *cells) arrays. merge_idx: indices into
+    payloads of [w, *weight-averaged attrs] — empty disables merging
+    (pure overwrite, arrivals win; used only by tests).
+    strips_lo/strips_hi: per-block halo columns for [key, *payloads]:
+    same shapes with the migration axis replaced by n_blocks along that
+    axis (entry b = the column just left/right of block b), already
+    wrap-adjusted and device-exchanged by the caller.
+
+    Strip Mosaic layout: VMEM blocks must tile (8, 128) on their last two
+    dims or span the array, so the thin (one-column-per-block) strips are
+    relayouted here to (nb, cap, *other_dims) — the per-block index
+    becomes a leading, unconstrained dim. Where the trailing dims of that
+    layout still cannot satisfy the rule (2D y-axis, 3D z-axis: the last
+    other-dim's block extent is 8, not 128-divisible), an 8-wide
+    broadcast dummy dim is appended — HBM cost x8 of a strip (small),
+    VMEM cost sliced away before sorting.
+
+    Returns (key_out, payloads_out, n_merged) where key_out is 2 for
+    alive slots and 3 for dead, and n_merged is a scalar int32."""
+    cap = key.shape[0]
+    cells = key.shape[1:]
+    ndim = len(cells)
+    n2 = 1
+    while n2 < cap:
+        n2 *= 2
+    ces = _batcher_network(n2, cap)
+
+    bx, by = _mig_blocks(cells, axis)
+    grid = (cells[0] // bx, cells[1] // by)
+    blk = [cap, bx, by] + ([cells[2]] if ndim == 3 else [])
+    maxis = 1 + axis                      # array axis of migration
+    blk_sizes = (bx, by) + ((cells[2],) if ndim == 3 else ())
+    nb = cells[axis] // blk_sizes[axis]
+
+    # other (non-migration) cell dims, their block extents, and the grid
+    # coordinate that indexes each of them (None = unblocked)
+    others = [d for d in range(ndim) if d != axis]
+    odims = tuple(cells[d] for d in others)
+    oblk = tuple(blk_sizes[d] for d in others)
+    ogrid = tuple(({0: "i", 1: "j"}.get(d)) for d in others)
+
+    def _fits(second, last, dsecond, dlast):
+        return (second % 8 == 0 or second == dsecond) and \
+            (last % 128 == 0 or last == dlast)
+
+    if len(oblk) == 1:
+        pad = not _fits(cap, oblk[0], cap, odims[0])
+    else:
+        pad = not _fits(oblk[-2], oblk[-1], odims[-2], odims[-1])
+    if pad and not (oblk[-1] % 8 == 0 or oblk[-1] == odims[-1]):
+        raise ValueError(
+            f"fused migration blocks {oblk} incompatible with Mosaic "
+            f"tiling for cells {cells} axis {axis}")
+
+    def relayout_strip(s):
+        # (cap, ..., nb at maxis, ...) -> (nb, cap, *odims[, 8])
+        s = jnp.moveaxis(s, maxis, 0)
+        if pad:
+            s = jnp.broadcast_to(s[..., None], s.shape + (8,))
+        return s
+
+    sblk = (1, cap) + oblk + ((8,) if pad else ())
+
+    def imap_main(i, j):
+        return (0, i, j) + ((0,) if ndim == 3 else ())
+
+    def imap_strip(i, j):
+        g = {"i": i, "j": j, None: 0}
+        bidx = g[{0: "i", 1: "j"}.get(axis)]
+        return (bidx, 0) + tuple(g[c] for c in ogrid) + \
+            ((0,) if pad else ())
+
+    # halo rows inside the kernel: main-row shape with the migration
+    # axis collapsed to one column
+    halo_shape = tuple(1 if d == maxis else e
+                       for d, e in enumerate([1] + list(blk_sizes)))
+
+    n_pay = len(payloads)
+
+    def kernel(*refs):
+        k_ref = refs[0]
+        p_refs = refs[1:1 + n_pay]
+        sl_refs = refs[1 + n_pay:2 + 2 * n_pay]
+        sh_refs = refs[2 + 2 * n_pay:3 + 3 * n_pay]
+        out_k = refs[3 + 3 * n_pay]
+        out_p = refs[4 + 3 * n_pay:4 + 4 * n_pay]
+        out_m = refs[4 + 4 * n_pay]
+
+        def sort_rows(rows_k, rows_v):
+            rk, rv = list(rows_k), [list(r) for r in rows_v]
+            for a, b in ces:
+                ka, kb = rk[a], rk[b]
+                swap = ka > kb
+                rk[a] = jnp.where(swap, kb, ka)
+                rk[b] = jnp.where(swap, ka, kb)
+                for vl in rv:
+                    va, vb = vl[a], vl[b]
+                    vl[a] = jnp.where(swap, vb, va)
+                    vl[b] = jnp.where(swap, va, vb)
+            return rk, rv
+
+        def main_rows(ref):
+            return [ref[a:a + 1] for a in range(cap)]
+
+        def strip_rows(ref):
+            v = ref[...]
+            if pad:
+                v = v[..., 0]
+            return [lax.slice_in_dim(v, a, a + 1, axis=1)
+                    .reshape(halo_shape) for a in range(cap)]
+
+        rk, rv = sort_rows(main_rows(k_ref),
+                           [main_rows(r) for r in p_refs])
+        slk, slv = sort_rows(strip_rows(sl_refs[0]),
+                             [strip_rows(r) for r in sl_refs[1:]])
+        shk, shv = sort_rows(strip_rows(sh_refs[0]),
+                             [strip_rows(r) for r in sh_refs[1:]])
+
+        def shift_lo(strip_row, main_row):
+            # lo-source col c = sorted col c-1 (strip for c=0)
+            body = lax.slice_in_dim(main_row, 0,
+                                    main_row.shape[maxis] - 1, axis=maxis)
+            return jnp.concatenate([strip_row, body], axis=maxis)
+
+        def shift_hi(strip_row, main_row):
+            body = lax.slice_in_dim(main_row, 1, main_row.shape[maxis],
+                                    axis=maxis)
+            return jnp.concatenate([body, strip_row], axis=maxis)
+
+        n_merged = jnp.zeros((), jnp.int32)
+        out_rows_k = []
+        out_rows_p = [[] for _ in range(n_pay)]
+        w_i = merge_idx[0] if merge_idx else -1
+        for a in range(cap):
+            lo_k = shift_lo(slk[a], rk[a])
+            hi_k = shift_hi(shk[a], rk[a])
+            val_lo = lo_k == 0
+            val_hi = hi_k == 4
+            stay = rk[a] == 2
+            alive_new = val_lo | val_hi | stay
+            n_src = (val_lo.astype(jnp.int32) + val_hi.astype(jnp.int32)
+                     + stay.astype(jnp.int32))
+            multi = n_src >= 2
+            n_merged = n_merged + jnp.sum(
+                jnp.maximum(n_src - 1, 0)).astype(jnp.int32)
+            if merge_idx:
+                w_lo_full = shift_lo(slv[w_i][a], rv[w_i][a])
+                w_hi_full = shift_hi(shv[w_i][a], rv[w_i][a])
+                w_lo = jnp.where(val_lo, w_lo_full, 0.0)
+                w_hi = jnp.where(val_hi, w_hi_full, 0.0)
+                w_res = jnp.where(stay, rv[w_i][a], 0.0)
+                wsum = w_lo + w_hi + w_res
+                wsafe = jnp.maximum(wsum, jnp.asarray(
+                    1e-300 if wsum.dtype == jnp.float64 else 1e-30,
+                    wsum.dtype))
+            for p in range(n_pay):
+                lo_v = shift_lo(slv[p][a], rv[p][a])
+                hi_v = shift_hi(shv[p][a], rv[p][a])
+                sel = jnp.where(val_lo, lo_v,
+                                jnp.where(val_hi, hi_v, rv[p][a]))
+                if merge_idx and p in merge_idx:
+                    if p == w_i:
+                        mg = wsum
+                    else:
+                        mg = (w_lo * lo_v + w_hi * hi_v
+                              + w_res * rv[p][a]) / wsafe
+                    sel = jnp.where(multi, mg.astype(sel.dtype), sel)
+                out_rows_p[p].append(sel)
+            out_rows_k.append(jnp.where(alive_new, 2, 3).astype(jnp.int32))
+
+        out_k[...] = jnp.concatenate(out_rows_k, axis=0)
+        for p in range(n_pay):
+            out_p[p][...] = jnp.concatenate(out_rows_p[p], axis=0)
+        # merge-count reduction: constant-index-map block stays resident
+        # in VMEM across the (sequential) grid; zero it on the first
+        # step, accumulate after, flush once at the end
+        is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+        prev = jnp.where(is_first, 0, out_m[...])
+        out_m[...] = prev + n_merged
+
+    mspec = pl.BlockSpec(tuple(blk), imap_main)
+    sspec = pl.BlockSpec(sblk, imap_strip)
+    cnt_spec = pl.BlockSpec((8, 128), lambda i, j: (0, 0))
+    strips = [relayout_strip(s) for s in (*strips_lo, *strips_hi)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mspec] * (1 + n_pay) + [sspec] * (2 * (1 + n_pay)),
+        out_specs=[mspec] * (1 + n_pay) + [cnt_spec],
+        out_shape=([jax.ShapeDtypeStruct(key.shape, jnp.int32)]
+                   + [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                      for a in payloads]
+                   + [jax.ShapeDtypeStruct((8, 128), jnp.int32)]),
+        **_compile_kwargs(),
+    )(key, *payloads, *strips)
+    key_out = outs[0]
+    pay_out = list(outs[1:1 + n_pay])
+    n_merged = outs[1 + n_pay][0, 0]
+    return key_out, pay_out, n_merged
+
+
+def _axis_strips(arr, axis: int, blk: int):
+    """(strip_lo, strip_hi) for one array: per-block halo columns along
+    the (1+axis) array axis via strided slices + a one-entry roll.
+    strip_lo[b] = column b*blk-1 (wrapped), strip_hi[b] = column
+    (b+1)*blk mod n."""
+    aax = 1 + axis
+    n = arr.shape[aax]
+    # right edges of each block: {blk-1, 2*blk-1, ...} -> left halos of
+    # blocks 1.. plus the wrap column (n-1) for block 0
+    ridx = lax.slice_in_dim(arr, blk - 1, n, stride=blk, axis=aax)
+    strip_lo = jnp.roll(ridx, 1, axis=aax)
+    lidx = lax.slice_in_dim(arr, 0, n, stride=blk, axis=aax)
+    strip_hi = jnp.roll(lidx, -1, axis=aax)
+    return strip_lo, strip_hi
+
+
+def migrate_cells_fused(data, alive, plan, *, recompute_ig: bool = False):
+    """Drop-in replacement for ops/cell2d.py::migrate_cells (fast path)
+    built on migrate_axis_fused. Same semantics: per-axis 5-way-key
+    re-binning with merge-instead-of-drop; returns (data, alive, n_lost)
+    where n_lost counts merge events."""
+    from .cell2d import _TRANSIENT
+
+    cap = alive.shape[0]
+    n_lost = jnp.int32(0)
+    transient = set(_TRANSIENT)
+    if recompute_ig:
+        transient.add("inv_gamma")
+    names = sorted(k for k in data if k not in transient)
+    ndim = len(plan)
+    parity_shape = (cap,) + (1,) * ndim
+    parity = ((jnp.arange(cap, dtype=jnp.int32) & 1) == 0).reshape(
+        parity_shape)
+    mergeable = ("x", "y", "z", "ux", "uy", "uz", "inv_gamma")
+    merge_idx = tuple([names.index("w")] if "w" in names else []) + tuple(
+        names.index(k) for k in mergeable if k in names)
+
+    for axis, (nloc, spec, coord) in enumerate(plan):
+        pos = data[coord]
+        cells = pos.shape[1:]
+        nt = cells[axis]
+        ishape = [1] * (1 + ndim)
+        ishape[1 + axis] = nt
+        idx = jnp.arange(nt, dtype=pos.dtype).reshape(ishape)
+        local = pos - idx
+        out_hi = alive & (local >= 0.5)
+        out_lo = alive & (local < -0.5)
+        key = jnp.where(out_hi, 0,
+                        jnp.where(out_lo, 4,
+                                  jnp.where(alive, 2,
+                                            jnp.where(parity, 1, 3)))
+                        ).astype(jnp.int32)
+
+        bx, by = _mig_blocks(cells, axis)
+        blk_sizes = (bx, by) + ((cells[2],) if ndim == 3 else ())
+        blk = blk_sizes[axis]
+        nb = nt // blk
+
+        payloads = [data[k] for k in names]
+        strips_l, strips_h = [], []
+        ci = names.index(coord)
+        for p_i, arr in enumerate([key] + payloads):
+            sl, sh = _axis_strips(arr, axis, blk)
+            is_coord = (p_i == 1 + ci)
+            is_key = (p_i == 0)
+            # wrap entries: strip_lo[0] wrapped from the high end
+            # (coordinate -nloc); strip_hi[-1] wrapped from the low end
+            aax = 1 + axis
+
+            def fix_wrap(strip, entry_idx, adj):
+                col = lax.index_in_dim(strip, entry_idx, axis=aax,
+                                       keepdims=True)
+                if spec.size > 1:
+                    up, dn = _mig_perms(spec.size)
+                    col = lax.ppermute(col, spec.axis_name,
+                                       up if adj < 0 else dn)
+                if is_coord:
+                    col = col + jnp.asarray(adj * nloc, col.dtype)
+                if is_key and not spec.periodic:
+                    i_dev = lax.axis_index(spec.axis_name)
+                    edge = (i_dev == 0) if adj < 0 else \
+                        (i_dev == spec.size - 1)
+                    col = jnp.where(edge, jnp.full_like(col, 9), col)
+                return lax.dynamic_update_index_in_dim(
+                    strip, col[(slice(None),) * aax + (0,)], entry_idx,
+                    axis=aax)
+
+            sl = fix_wrap(sl, 0, -1)
+            sh = fix_wrap(sh, nb - 1, +1)
+            strips_l.append(sl)
+            strips_h.append(sh)
+
+        key_out, pay_out, n_m = migrate_axis_fused(
+            key, payloads, merge_idx, axis, strips_l, strips_h)
+        n_lost = n_lost + n_m
+        data = {**data, **dict(zip(names, pay_out))}
+        alive = key_out == 2
+
+    for k in ("x", "y", "z", "w", "ux", "uy", "uz"):
+        if k in data:
+            data[k] = jnp.where(alive, data[k], jnp.zeros_like(data[k]))
+    if recompute_ig:
+        data["inv_gamma"] = 1.0 / jnp.sqrt(
+            1.0 + data["ux"]**2 + data["uy"]**2 + data["uz"]**2)
+    elif "inv_gamma" in data:
+        data["inv_gamma"] = jnp.where(alive, data["inv_gamma"],
+                                      jnp.ones_like(data["inv_gamma"]))
+    return data, alive, n_lost
+
+
+def _mig_perms(size: int):
+    up = [(i, (i + 1) % size) for i in range(size)]
+    dn = [(i, (i - 1) % size) for i in range(size)]
+    return up, dn

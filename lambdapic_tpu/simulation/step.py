@@ -66,6 +66,22 @@ class SpeciesStatic:
     tile_cap: int = 0    # per-tile capacity when the tiled path is active
 
 
+def donation_argnums() -> tuple:
+    """Buffer donation for the step functions (in-place state reuse).
+
+    Donation is faster everywhere measured (relay included: 2D bench 180
+    vs 98 Mpush/s without). Caveat for ablations: arrays that pass
+    through a donated jit UNCHANGED appear to get defensive copies on
+    the axon relay, so switch-based timing ablations overcount disabled
+    stages. Override with LAMBDAPIC_DONATE=0 to measure that effect.
+    """
+    import os
+    v = os.environ.get("LAMBDAPIC_DONATE")
+    if v is not None:
+        return (0,) if v.lower() in ("1", "on", "true") else ()
+    return (0,)
+
+
 class StepBuilder:
     def __init__(self, grid: Grid, mesh, cpml: Optional[CPMLCoeffs],
                  dt: float, species: Sequence[SpeciesStatic],
@@ -100,7 +116,10 @@ class StepBuilder:
         self.switches = dict(maxwell=True, pusher=True,
                              current_deposition=True, qed=True,
                              collisions=True, interpolation=True,
-                             migration=True)
+                             migration=True,
+                             # timing-ablation only: skip the species
+                             # shard_map block entirely
+                             species_block=True)
         if switches:
             self.switches.update(switches)
         self.grid = grid
@@ -298,26 +317,33 @@ class StepBuilder:
                 data["y"] = pos[1]
                 if ndim == 3:
                     data["z"] = pos[2]
-                sort_fn = None
-                if use_pallas_cell and self.cell_migration != "exact":
-                    from ..ops.cellpallas import sort_cells_pallas
-                    sort_fn = sort_cells_pallas
-                if ndim == 2:
-                    from ..ops.cell2d import migrate_cell_2d
-                    data, alive, cell_lost = migrate_cell_2d(
-                        data, alive, specs, nloc[0], nloc[1],
-                        recompute_ig=(sp.pusher != "photon"),
-                        exact=(self.cell_migration == "exact"),
-                        sort_fn=sort_fn)
-                    pos = (data["x"], data["y"])
+                coords = ("x", "y", "z")[:ndim]
+                plan = tuple((nloc[i], specs[i], coords[i])
+                             for i in range(ndim))
+                import os as _os
+                want_fused = _os.environ.get(
+                    "LAMBDAPIC_MIG_FUSED", "1") != "0"
+                if use_pallas_cell and want_fused \
+                        and self.cell_migration != "exact":
+                    # fused per-axis kernel: in-VMEM sort + neighbor
+                    # exchange + merge, one HBM round-trip per payload
+                    # (replaces sort kernel + 6 rolls + merge selects)
+                    from ..ops.cellpallas import migrate_cells_fused
+                    data, alive, cell_lost = migrate_cells_fused(
+                        data, alive, plan,
+                        recompute_ig=(sp.pusher != "photon"))
                 else:
-                    from ..ops.cell3d import migrate_cell_3d
-                    data, alive, cell_lost = migrate_cell_3d(
-                        data, alive, specs, nloc[0], nloc[1], nloc[2],
+                    sort_fn = None
+                    if use_pallas_cell and self.cell_migration != "exact":
+                        from ..ops.cellpallas import sort_cells_pallas
+                        sort_fn = sort_cells_pallas
+                    from ..ops.cell2d import migrate_cells
+                    data, alive, cell_lost = migrate_cells(
+                        data, alive, plan,
                         recompute_ig=(sp.pusher != "photon"),
                         exact=(self.cell_migration == "exact"),
                         sort_fn=sort_fn)
-                    pos = (data["x"], data["y"], data["z"])
+                pos = tuple(data[c] for c in coords)
                 ig = data["inv_gamma"]
 
             if fused:
@@ -994,7 +1020,7 @@ class StepBuilder:
                                            sp.migration_buf, tcfg))
             return state.replace(fields=f, particles=tuple(parts))
 
-        return jax.jit(shift, donate_argnums=(0,))
+        return jax.jit(shift, donate_argnums=donation_argnums())
 
     # ------------------------------------------------------------------
     # segments
@@ -1032,6 +1058,9 @@ class StepBuilder:
         jpad_total = None
         new_parts: List[ParticlesState] = []
         for ispec in range(len(self.species)):
+            if not self.switches["species_block"]:
+                new_parts.append(particles[ispec])
+                continue
             block = self.make_species_block(ispec, migrate=migrate)
             kspec = jax.random.fold_in(key, ispec)
             pnew, jpad = block(eb_pad, particles[ispec], kspec)
@@ -1137,8 +1166,8 @@ class StepBuilder:
         return jax.lax.scan(body, state, blocked)[0]
 
     def compile(self):
-        """Return (full, seg1, seg2, seg3) jitted with donation."""
-        jopts = dict(donate_argnums=(0,))
+        """Return (full, seg1, seg2, seg3) jitted (donation per backend)."""
+        jopts = dict(donate_argnums=donation_argnums())
         return (jax.jit(self.full_step, **jopts),
                 jax.jit(self.seg_fields_1, **jopts),
                 jax.jit(self.seg_particles, **jopts),

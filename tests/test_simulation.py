@@ -171,6 +171,22 @@ def test_step_chunking_matches_stepwise():
     assert results[0][2] == results[1][2]
 
 
+def test_step_chunk_auto_resolution():
+    """Default 'auto' resolves per backend (off on CPU, where the tests
+    run); bad values raise rather than silently disabling chunking."""
+    import jax
+    sim = make_laser_target()
+    assert sim.step_chunk == "auto"
+    expect = 1 if jax.default_backend() == "cpu" else sim.CHUNK_SIZES[0]
+    assert sim._chunk_limit() == expect
+    sim.step_chunk = 4
+    assert sim._chunk_limit() == 4
+    for bad in ("fast", 0, -2, 2.5, True):
+        sim.step_chunk = bad
+        with pytest.raises(ValueError):
+            sim._chunk_limit()
+
+
 def test_single_precision_runs():
     sim = make_laser_target(precision="single")
     laser = SimpleLaser2D(a0=5, w0=2 * um, ctau=5 * um)
