@@ -1,4 +1,4 @@
-"""Moving window along +x.
+"""Moving window along x (forward for velocity > 0, backward for < 0).
 
 Port of the reference MovingWindow (callback/utils.py:471-840) with a
 TPU-native shift algorithm: instead of recycling whole patch columns and
@@ -11,6 +11,8 @@ Semantics kept from the reference:
   reference laser.py:119-127)
 - new cells are filled from the species density/ppc profiles; injection can
   be disabled or stopped at stop_inject_time
+- negative accumulated shift recycles the other edge (reference
+  _shift_left, utils.py:570-572)
 """
 from __future__ import annotations
 
@@ -38,7 +40,6 @@ class MovingWindow(Callback):
         self.stop_inject_time = stop_inject_time
         self.cell_this_shift: Optional[float] = None
         self.num_shifts = 0
-        self._shift_fn = None
         self._k_inject: Optional[list] = None
 
     def _call(self, sim) -> None:
@@ -62,11 +63,12 @@ class MovingWindow(Callback):
         self.num_shifts += 1
 
         while self.cell_this_shift >= sim.dx:
-            self._shift_once(sim)
+            self._shift_once(sim, +1)
             self.cell_this_shift -= sim.dx
-        if self.cell_this_shift <= -sim.dx:
-            raise NotImplementedError(
-                "backward moving window is not implemented yet")
+        while self.cell_this_shift <= -sim.dx:
+            # backward window (reference _shift_left, utils.py:570-572)
+            self._shift_once(sim, -1)
+            self.cell_this_shift += sim.dx
 
     # ------------------------------------------------------------------
     def _estimate_k(self, sim) -> list:
@@ -92,10 +94,11 @@ class MovingWindow(Callback):
             ks.append(int(np.ceil(k / 128) * 128))
         return ks
 
-    def _column_particles(self, sim, ispec: int, k: int):
+    def _column_particles(self, sim, ispec: int, k: int,
+                          direction: int = 1):
         """Host-side fill of the incoming column (global x index
-        nx-1+offset+1 after the shift) for one species; returns
-        mesh-shaped buffers."""
+        nx+offset for a forward shift, offset-1 for a backward one) for
+        one species; returns mesh-shaped buffers."""
         grid = sim.grid
         sp = sim.species[ispec]
         mshape = grid.mesh_shape
@@ -118,13 +121,21 @@ class MovingWindow(Callback):
                    else Species.vectorized_profile(prof, grid.dimension)
                    for prof in (sp.momentum or (None, None, None))]
         dV = grid.dx * grid.dy * (grid.dz if grid.dimension == 3 else 1.0)
-        x_glob = (sim.nx + sim._window_offset) * grid.dx
+        # global index of the incoming column; the RNG is keyed on it so
+        # any column's fill is deterministic per seed regardless of the
+        # shift history that exposed it
+        col_glob = (sim.nx + sim._window_offset if direction > 0
+                    else sim._window_offset - 1)
+        x_glob = col_glob * grid.dx
         npx = grid.npatch_x
+        edge_dev = npx - 1 if direction > 0 else 0
+        x_loc = grid.nx_loc - 1 if direction > 0 else 0
+        # seed entries must be non-negative; backward columns go below 0
         rng = np.random.default_rng(
-            [sim._seed_effective, 23, ispec, sim._window_offset])
+            [sim._seed_effective, 23, ispec, col_glob + (1 << 31)])
 
         for dev in np.ndindex(mshape):
-            if dev[0] != npx - 1:
+            if dev[0] != edge_dev:
                 continue
             ys = (dev[1] * grid.ny_loc + np.arange(grid.ny_loc)) * grid.dy
             if grid.dimension == 2:
@@ -153,8 +164,7 @@ class MovingWindow(Callback):
             w = (dens.reshape(-1)[cell_ids] * dV
                  / np.maximum(ppc.reshape(-1)[cell_ids], 1))
             vals["w"][dev][:total] = w
-            vals["x"][dev][:total] = grid.nx_loc - 1 + rng.uniform(
-                -0.5, 0.5, total)
+            vals["x"][dev][:total] = x_loc + rng.uniform(-0.5, 0.5, total)
             cy = np.unravel_index(cell_ids, n_per_cell.shape)
             y_loc = cy[0] + rng.uniform(-0.5, 0.5, total)
             vals["y"][dev][:total] = y_loc
@@ -250,9 +260,8 @@ class MovingWindow(Callback):
             alive[dev].reshape(cap, ncells)[slot[keep], fs[keep]] = True
         return {"vals": out, "n": alive}
 
-    def _shift_once(self, sim) -> None:
-        if self._shift_fn is None:
-            self._shift_fn = sim._builder.make_window_shift()
+    def _shift_once(self, sim, direction: int = 1) -> None:
+        if self._k_inject is None:
             self._k_inject = self._estimate_k(sim)
             if sim.tiling is not None and sim.tiling != "cell":
                 ty = sim.tiling[1]
@@ -260,14 +269,23 @@ class MovingWindow(Callback):
                     max(128, int(np.ceil(k * ty / sim.grid.ny_loc / 128)
                                  * 128))
                     for k in self._k_inject]
+        # cache the jitted shift on the builder: host-side re-capacity
+        # rebuilds the builder (new species statics), which must also
+        # invalidate the shift closure
+        cache = getattr(sim._builder, "_window_shift_fns", None)
+        if cache is None:
+            cache = sim._builder._window_shift_fns = {}
+        if direction not in cache:
+            cache[direction] = sim._builder.make_window_shift(direction)
         injections = []
         for ispec in range(len(sim.species)):
-            inj = self._column_particles(sim, ispec, self._k_inject[ispec])
+            inj = self._column_particles(sim, ispec, self._k_inject[ispec],
+                                         direction)
             if sim.tiling == "cell":
                 inj = self._rebin_injection_cells(sim, inj, ispec)
             elif sim.tiling is not None:
                 inj = self._rebin_injection(sim, inj,
                                             self._kb_inject[ispec])
             injections.append(inj)
-        sim.state = self._shift_fn(sim.state, injections)
-        sim._window_offset += 1
+        sim.state = cache[direction](sim.state, injections)
+        sim._window_offset += direction

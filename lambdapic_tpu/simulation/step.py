@@ -822,25 +822,30 @@ class StepBuilder:
         raise NotImplementedError(f"unknown QED process {proc!r}")
 
     # ------------------------------------------------------------------
-    def make_window_shift(self) -> Callable:
-        """Jitted one-cell moving-window shift: roll fields left by one cell
-        along x, zero the incoming column, shift particle x by -1 cell,
-        immediately re-migrate along x, and inject new particles on the
-        rightmost device column.
+    def make_window_shift(self, direction: int = 1) -> Callable:
+        """Jitted one-cell moving-window shift: roll fields one cell along
+        x (left for direction=+1, right for -1), zero the incoming column,
+        shift particle x by -direction cells, immediately re-migrate along
+        x, and inject new particles on the incoming device column (last
+        for +1, first for -1 — the reference's _shift_right/_shift_left,
+        callback/utils.py:567-572).
 
         TPU-native divergence from the reference MovingWindow
         (callback/utils.py:471-840): the reference recycles whole *patch*
         columns; here the shift granularity is one cell, which maps to a
         cheap roll of the sharded arrays and avoids patch-topology
         rebuilds."""
+        if direction not in (1, -1):
+            raise ValueError(f"direction must be +1 or -1, got {direction}")
         grid = self.grid
         ndim = grid.dimension
         specs = self.halo_specs
         nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:ndim]
+        fwd = direction > 0
 
         def shift_fields(arr):
-            arr = jnp.roll(arr, -1, axis=0)
-            return arr.at[-1].set(0.0)
+            arr = jnp.roll(arr, -direction, axis=0)
+            return arr.at[-1 if fwd else 0].set(0.0)
 
         tile_cfg = self.tile_cfg
 
@@ -855,11 +860,11 @@ class StepBuilder:
 
             def local_cell(data, alive, next_id, overflow, nv, nalive):
                 """Cell layout: the window shift IS a roll of the slot
-                arrays one cell left along x (content of cell i+1 moves
-                to cell i; device edges ppermute), x -= 1 uniformly, and
-                the host-injected right-edge column (already cell-binned)
-                overwrites the (dead) incoming column on the rightmost
-                device."""
+                arrays one cell along x (content of cell i+direction moves
+                to cell i; device edges ppermute), x -= direction
+                uniformly, and the host-injected edge column (already
+                cell-binned) overwrites the (dead) incoming column on the
+                edge device."""
                 nd = 1 + ndim                    # cap + cell axes
                 shp = alive.shape[-nd:]
                 lead = alive.shape[:-nd]
@@ -873,25 +878,31 @@ class StepBuilder:
                 names = sorted(data)
                 spec = specs[0]
                 moved, valid = _roll_with_edge_exchange(
-                    ({k: data[k] for k in names}, alive), 1, -1, spec)
-                # device-crossing entries came from the neighbor's column
-                # 0 and land at local nx-1: their x is 0-based there,
-                # adjust by +nx_loc then the uniform -1 below
-                to_wrap = (jnp.arange(shp[1]) == shp[1] - 1).reshape(
+                    ({k: data[k] for k in names}, alive), 1, -direction,
+                    spec)
+                # device-crossing entries came from the neighbor's edge
+                # column and land at the opposite local edge: their x is
+                # neighbor-local there, adjust by +-nx_loc then the
+                # uniform -direction below
+                wrap_col = shp[1] - 1 if fwd else 0
+                to_wrap = (jnp.arange(shp[1]) == wrap_col).reshape(
                     (1, shp[1]) + (1,) * (ndim - 1))
                 moved = dict(moved)
-                moved["x"] = jnp.where(to_wrap, moved["x"] + nloc[0],
+                moved["x"] = jnp.where(to_wrap,
+                                       moved["x"] + direction * nloc[0],
                                        moved["x"])
                 i = lax.axis_index(spec.axis_name)
-                is_last = i == spec.size - 1
+                is_edge = (i == spec.size - 1) if fwd else (i == 0)
                 # window x boundary is open: nothing wraps around
-                valid = valid & ~(to_wrap & is_last)
+                valid = valid & ~(to_wrap & is_edge)
                 data = moved
                 alive = valid
-                data["x"] = jnp.where(alive, data["x"] - 1.0, data["x"])
+                data["x"] = jnp.where(alive, data["x"] - direction,
+                                      data["x"])
 
-                # injection into the right-edge column of the last device
-                inj = nalive & is_last
+                # injection into the incoming edge column of the edge
+                # device
+                inj = nalive & is_edge
                 ncol = jnp.cumsum(
                     inj[:, None].reshape(-1).astype(jnp.uint32)).reshape(
                         inj.shape) - jnp.uint32(1)
@@ -909,13 +920,18 @@ class StepBuilder:
                     else:
                         v = jnp.zeros(inj.shape, data[k].dtype)
                     col[k] = v.astype(data[k].dtype)
+                eidx = -1 if fwd else 0
                 for k in names:
-                    edge = jnp.where(inj, col[k], data[k][:, -1])
-                    data[k] = jnp.concatenate(
-                        [data[k][:, :-1], edge[:, None]], axis=1)
-                edge_alive = jnp.where(inj, True, alive[:, -1])
-                alive = jnp.concatenate([alive[:, :-1],
-                                         edge_alive[:, None]], axis=1)
+                    edge = jnp.where(inj, col[k], data[k][:, eidx])
+                    body = data[k][:, :-1] if fwd else data[k][:, 1:]
+                    parts = ([body, edge[:, None]] if fwd
+                             else [edge[:, None], body])
+                    data[k] = jnp.concatenate(parts, axis=1)
+                edge_alive = jnp.where(inj, True, alive[:, eidx])
+                abody = alive[:, :-1] if fwd else alive[:, 1:]
+                aparts = ([abody, edge_alive[:, None]] if fwd
+                          else [edge_alive[:, None], abody])
+                alive = jnp.concatenate(aparts, axis=1)
                 next_id = next_id + jnp.sum(inj).astype(jnp.uint32)
 
                 return ({k: v.reshape(lead + shp) for k, v in data.items()},
@@ -923,10 +939,10 @@ class StepBuilder:
                         next_id.reshape(lead), overflow.reshape(lead))
 
             def local_tiled(data, alive, next_id, overflow, nv, nn):
-                """Tiled layout: x -= 1, re-bin along x (migrate_tiled),
-                then merge the host-injected right-edge column — binned by
-                y-tile on the host — into tile column ntx-1 via
-                insert_tiled."""
+                """Tiled layout: x -= direction, re-bin along x
+                (migrate_tiled), then merge the host-injected edge column —
+                binned by y-tile on the host — into the incoming tile
+                column (ntx-1 for +1, 0 for -1) via insert_tiled."""
                 from ..ops.tiled2d import insert_tiled, migrate_tiled
                 shp = alive.shape[-3:]
                 lead = alive.shape[:-3]
@@ -937,24 +953,33 @@ class StepBuilder:
                 nv = {k: v.reshape(v.shape[-2:]) for k, v in nv.items()}
                 nn = nn.reshape(nn.shape[-1])            # (nty,)
 
-                data["x"] = jnp.where(alive, data["x"] - 1.0, data["x"])
+                data["x"] = jnp.where(alive, data["x"] - direction,
+                                      data["x"])
                 data, alive, lost = migrate_tiled(
                     data, alive, tcfg, specs[:2], nloc[0], nloc[1],
                     axes=(0,))
                 kb = next(iter(nv.values())).shape[-1]
                 valid = (jnp.arange(kb)[None, None, :]
                          < nn[None, :, None])            # (1, nty, kb)
-                sl = {k: v[tcfg.ntx - 1:] for k, v in data.items()}
-                sal = alive[tcfg.ntx - 1:]
+                tsl = (slice(tcfg.ntx - 1, None) if fwd else slice(0, 1))
+                sl = {k: v[tsl] for k, v in data.items()}
+                sal = alive[tsl]
                 newv = {k: v[None] for k, v in nv.items()}
                 didx = jnp.int32(0)
                 for name, size in zip(grid.axis_names, grid.mesh_shape):
                     didx = didx * size + jax.lax.axis_index(name)
                 sl, sal, next_id, lost2 = insert_tiled(
                     sl, sal, next_id, newv, valid, device_id=didx)
-                data = {k: jnp.concatenate([v[:tcfg.ntx - 1], sl[k]],
-                                           axis=0) for k, v in data.items()}
-                alive = jnp.concatenate([alive[:tcfg.ntx - 1], sal], axis=0)
+                if fwd:
+                    data = {k: jnp.concatenate([v[:tcfg.ntx - 1], sl[k]],
+                                               axis=0)
+                            for k, v in data.items()}
+                    alive = jnp.concatenate([alive[:tcfg.ntx - 1], sal],
+                                            axis=0)
+                else:
+                    data = {k: jnp.concatenate([sl[k], v[1:]], axis=0)
+                            for k, v in data.items()}
+                    alive = jnp.concatenate([sal, alive[1:]], axis=0)
                 overflow = overflow + lost + lost2
                 return ({k: v.reshape(lead + shp) for k, v in data.items()},
                         alive.reshape(lead + shp),
@@ -970,7 +995,8 @@ class StepBuilder:
                 nv = {k: v.reshape(v.shape[-1]) for k, v in nv.items()}
                 nn = nn.reshape(())
 
-                data["x"] = jnp.where(alive, data["x"] - 1.0, data["x"])
+                data["x"] = jnp.where(alive, data["x"] - direction,
+                                      data["x"])
                 data, alive, lost = migrate_axis(data, alive, specs[0], "x",
                                                  nloc[0], buf)
                 data, alive, next_id, lost2 = insert_local(
