@@ -1,15 +1,23 @@
 #!/usr/bin/env python
 """Benchmarks for the BASELINE configs (BASELINE.md):
 
-    laser-target    2D laser-solid target (default; headline metric)
+    laser-target-3d 3D laser-solid target (default: 128^3, ppc 2/species —
+                    the BASELINE.json north-star config)
+    laser-target    2D laser-solid target
     vacuum          2D Gaussian laser in vacuum (FDTD + injection)
     lwfa            underdense plasma + moving window
     qed             QED cascade (photon emission)
-    laser-target-3d 3D laser-solid target
+    collision       2D laser-target with binary Coulomb collisions
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 vs_baseline is value / 1e9 pushes/s (the driver target) for particle configs,
 or steps/sec for the vacuum config.
+
+Benchmarks run with recap_interval=0 (fixed capacities): a mid-run
+capacity growth rebuilds + recompiles every step kernel, which is correct
+behavior for production physics but poisons a throughput measurement.
+Per-cell overflow then falls back to weight-conserving merges, counted in
+extra.lost.
 """
 import argparse
 import json
@@ -147,14 +155,20 @@ def build(config, args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="laser-target",
+    ap.add_argument("--config", default="laser-target-3d",
                     choices=["laser-target", "vacuum", "lwfa", "qed",
                              "collision", "laser-target-3d"])
-    ap.add_argument("--nx", type=int, default=768)
-    ap.add_argument("--ny", type=int, default=768)
-    ap.add_argument("--ppc", type=int, default=10,
-                help="particles/cell (reference example/laser-target.py:64 uses 10)")
-    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--nx", type=int, default=None,
+                    help="2D grid x (default 768; the 3D config maps "
+                         "nx//4 -> n^3, default 128^3)")
+    ap.add_argument("--ny", type=int, default=None)
+    ap.add_argument("--ppc", type=int, default=None,
+                    help="particles/cell (default 10, matching reference "
+                         "example/laser-target.py:64; the 3D config uses "
+                         "ppc//4 per species, default 2)")
+    ap.add_argument("--steps", type=int, default=150,
+                    help="timed steps (>=150: the relay under-reads short "
+                         "windows by up to 2x)")
     ap.add_argument("--warmup", type=int, default=6)
     ap.add_argument("--cpu-fallback-size", type=int, default=128)
     ap.add_argument("--tiling", type=str, default="cell",
@@ -177,9 +191,11 @@ def main():
                     help="override guard width (None = config default)")
     ap.add_argument("--nspecies", type=int, default=2,
                     help="species count for ablation (laser-target-3d)")
-    ap.add_argument("--recap", type=int, default=None,
-                    help="override recap_interval (None = Simulation "
-                         "default)")
+    ap.add_argument("--recap", type=int, default=0,
+                    help="recap_interval for the run (default 0 = fixed "
+                         "capacities: a mid-run capacity growth recompiles "
+                         "every kernel and poisons the measurement; "
+                         "overflow merges are counted in extra.lost)")
     ap.add_argument("--capacity-factor", type=float, default=1.6,
                     help="slot headroom over initial max occupancy "
                          "(cell/tiled layouts); overflow losses are "
@@ -190,6 +206,12 @@ def main():
     os.environ.setdefault("LAMBDAPIC_COMPILE_CACHE", "1")
     import jax
     on_accel = jax.default_backend() not in ("cpu",)
+    if args.nx is None:
+        args.nx = 512 if args.config == "laser-target-3d" else 768
+    if args.ny is None:
+        args.ny = args.nx
+    if args.ppc is None:
+        args.ppc = 8 if args.config == "laser-target-3d" else 10
     if not on_accel:
         args.nx = args.ny = args.cpu_fallback_size
         args.ppc = 4
@@ -198,8 +220,7 @@ def main():
 
     sim, cbs = build(args.config, args)
     sim.step_chunk = args.chunk if args.chunk == "auto" else int(args.chunk)
-    if args.recap is not None:
-        sim.recap_interval = args.recap
+    sim.recap_interval = args.recap
     chunk_eff = sim._chunk_limit()
     if chunk_eff > 1:
         # compile every chunk-size kernel (16, 4, and the per-step tail)
