@@ -429,9 +429,36 @@ class Simulation:
 
         self.state = SimulationState(fields=fields, particles=tuple(parts))
         self._init_qed()
+        self._sync_qed_child_caps()
         dist.warm_collectives(self.mesh)
         self.initialized = True
         logger.info("Initialization complete")
+
+    def _sync_qed_child_caps(self):
+        """QED child species (the photons of a radiating electron; the
+        e-/e+ of a converting photon) receive newborns in bursts that
+        scale with the parent population. An empty child starts at the
+        128-slot capacity floor, so a first-step burst can overflow
+        before the between-step re-capacity ever observes an occupancy
+        trend (the reference extends arrays inside the step and never
+        loses, particles.py:141-168). Floor every child's capacity at
+        its parent's."""
+        from ..core.species import Electron, Photon
+        pairs = []
+        for sp in self.species:
+            if isinstance(sp, Electron) and sp.radiation == "photons" \
+                    and sp.photon is not None:
+                pairs.append((sp.ispec, sp.photon.ispec))
+            if isinstance(sp, Photon) and sp.electron is not None:
+                pairs.append((sp.ispec, sp.electron.ispec))
+                pairs.append((sp.ispec, sp.positron.ispec))
+        for parent, child in pairs:
+            pst = self._species_static[parent]
+            cst = self._species_static[child]
+            pcap = pst.tile_cap if self.tiling is not None else pst.cap
+            ccap = cst.tile_cap if self.tiling is not None else cst.cap
+            if ccap < pcap:
+                self._grow_capacity(child, pcap)
 
     def _validate_tiling(self):
         if self.tiling == "cell":
@@ -876,7 +903,7 @@ class Simulation:
                 # only under sustained merge pressure (>0.5% of the
                 # population per interval), where merging would start to
                 # degrade the distribution statistics
-                trigger = new_ov > max(0.005 * max(total, 1), 64)
+                trigger = new_ov > 0.005 * max(total, 1)
             else:
                 trigger = new_ov > 0 or \
                     occ + 2 * influx > self.recap_threshold * cap
@@ -1087,6 +1114,8 @@ class Simulation:
         parts = list(self.state.particles)
         parts[ispec] = pst
         self.state = self.state.replace(particles=tuple(parts))
+        # a grown parent population raises its QED children's burst sizes
+        self._sync_qed_child_caps()
 
     @property
     def npart_alive(self) -> List[int]:

@@ -33,7 +33,11 @@ def test_tiled_photon_emission(tiling):
     """Emission into tile-local (or cell-local) dead slots: photons appear,
     inherit the parent weight, sit inside the parent's tile (same
     position), and carry a momentum fraction of the parent's."""
-    pho = Photon(capacity=4096)
+    # capacity sized for the cell layout's per-cell mapping (capacity
+    # spread over ncells): photons cluster where they were emitted, and
+    # this test asserts exact parent weights — per-cell capacity pressure
+    # would trigger weight-conserving merges (w=2) instead
+    pho = Photon(capacity=32768)
     ele = Electron(radiation="photons")
     ele.set_photon(pho)
     sim = _tiled_sim([ele, pho], tiling=tiling)
