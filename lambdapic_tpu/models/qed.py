@@ -39,8 +39,10 @@ CHI_FACTOR = e * hbar / (m_e**2 * c**3)
 def _resolve_sample_mode(mode: Optional[str]) -> str:
     """'chebyshev' (default; gather-free surrogates) or 'table'
     (reference-exact interpolation + bisection, slow on TPU). Defaults
-    from LAMBDAPIC_QED_SAMPLING, the analog of the reference's
-    LAMBDAPIC_USE_SIGMOID_SAMPLING table switch (optical_depth.py:8-32)."""
+    from LAMBDAPIC_QED_SAMPLING. Orthogonally, the reference's
+    LAMBDAPIC_USE_SIGMOID_SAMPLING=1 (optical_depth.py:8-32) selects the
+    sigmoid-warped table variant — it applies to both modes here (the
+    surrogates are refit from whichever table is loaded)."""
     import os
     if mode is None:
         mode = os.environ.get("LAMBDAPIC_QED_SAMPLING", "chebyshev")
@@ -81,10 +83,12 @@ class _Tables:
     log_chi_min: float
     log_chi_max: float
     log_chi_delta: float
-    log_delta_min: float
-    log_delta_delta: float
+    log_delta_min: float        # log10 of the smallest grid delta
     chi_N: int
     delta_N: int
+    delta_grid: jnp.ndarray     # (delta_N,) the actual delta grid values
+    delta_interp_log: bool      # table inversion interpolates in log-delta
+                                # (log grid) or delta (sigmoid grid)
     # Chebyshev surrogates (see class docstring)
     rate_coef: jnp.ndarray      # (deg+1,) log10(rate) vs scaled log_chi
     rate_c0: float              # fit domain [rate_c0, log_chi_max]
@@ -93,7 +97,7 @@ class _Tables:
     inv_log_space: bool         # fit is log10(delta) (photon) or delta
 
 
-def _fit_tables(total, cum, lo, hi, dlo, dhi, log_space,
+def _fit_tables(total, cum, lo, hi, delta_grid, log_space,
                 deg_rate=24, degc=16, degr=32):
     """Host-side Chebyshev fits of the rate and r-uniform inverse CDF."""
     from numpy.polynomial import chebyshev as C
@@ -106,7 +110,7 @@ def _fit_tables(total, cum, lo, hi, dlo, dhi, log_space,
     rate_coef = C.chebfit(cc, np.log10(np.maximum(total[i0:], 1e-300)),
                           deg_rate)
 
-    ld = np.linspace(dlo, dhi, M)
+    ld = np.log10(delta_grid)
     r_grid = np.linspace(0, 1, 513)
     inv = np.zeros((N - i0, r_grid.size))
     for i in range(i0, N):
@@ -128,20 +132,31 @@ def _make_tables(kind: str, dtype) -> _Tables:
     key_total = f"{kind}_prob_rate_total"
     key_cum = f"integral_{kind}_prob_along_delta"
     lo, hi = [float(v) for v in t["log_chi_range"]]
-    dlo, dhi = [float(v) for v in t["log_delta_range"]]
+    delta_N = int(t["delta_N"])
+    if "A" in t:
+        # sigmoid-warped variant (LAMBDAPIC_USE_SIGMOID_SAMPLING=1;
+        # reference optical_depth_tables_sigmoid.py)
+        from .qed_tables import sigmoid_delta_grid
+        delta_grid = sigmoid_delta_grid(delta_N, float(t["delta_range"][0]))
+        interp_log = False
+    else:
+        dlo = float(t["log_delta_range"][0])
+        delta_grid = np.logspace(dlo, 0, delta_N)
+        interp_log = True
     total_np = np.asarray(t[key_total], np.float64)
     cum_np = np.asarray(t[key_cum], np.float64)
     log_space = kind == "photon"
-    rate_coef, c0, inv_coef = _fit_tables(total_np, cum_np, lo, hi, dlo,
-                                          dhi, log_space)
+    rate_coef, c0, inv_coef = _fit_tables(total_np, cum_np, lo, hi,
+                                          delta_grid, log_space)
     return _Tables(
         total=jnp.asarray(t[key_total], dtype),
         cumulative=jnp.asarray(t[key_cum], dtype),
         log_chi_min=lo, log_chi_max=hi,
         log_chi_delta=float(t["log_chi_delta"]),
-        log_delta_min=dlo,
-        log_delta_delta=float(t["log_delta_delta"]),
-        chi_N=int(t["chi_N"]), delta_N=int(t["delta_N"]),
+        log_delta_min=float(np.log10(delta_grid[0])),
+        chi_N=int(t["chi_N"]), delta_N=delta_N,
+        delta_grid=jnp.asarray(delta_grid, dtype),
+        delta_interp_log=interp_log,
         rate_coef=jnp.asarray(rate_coef, dtype),
         rate_c0=c0,
         inv_coef=jnp.asarray(inv_coef, dtype),
@@ -233,10 +248,18 @@ def _sample_delta_table(chi, r01, tb: _Tables):
 
     y1 = entry(delta_idx)
     y2 = entry(delta_idx + 1)
-    k = tb.log_delta_delta / jnp.where(y2 != y1, y2 - y1, 1e-300)
-    log_delta = (tb.log_delta_min + delta_idx.astype(chi.dtype)
-                 * tb.log_delta_delta + k * (r - y1))
-    return jnp.power(10.0, jnp.minimum(log_delta, 0.0))
+    frac = (r - y1) / jnp.where(y2 != y1, y2 - y1, 1e-300)
+    d1 = tb.delta_grid[delta_idx]
+    d2 = tb.delta_grid[delta_idx + 1]
+    if tb.delta_interp_log:
+        # log grid: interpolate in log10(delta) (reference
+        # optical_depth_tables.py:57-90)
+        log_delta = (jnp.log10(d1)
+                     + frac * (jnp.log10(d2) - jnp.log10(d1)))
+        return jnp.power(10.0, jnp.minimum(log_delta, 0.0))
+    # sigmoid grid: linear in delta (reference
+    # optical_depth_tables_sigmoid.py:90-103)
+    return jnp.clip(d1 + frac * (d2 - d1), 0.0, 1.0)
 
 
 def _update_tau(tau, inv_gamma, chi, alive, dt, keys, tb: _Tables,

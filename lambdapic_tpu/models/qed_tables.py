@@ -24,6 +24,8 @@ from scipy.integrate import quad
 from scipy.special import airy
 
 TABLE_PATH = Path(__file__).with_name("optical_depth_tables.npz")
+SIGMOID_TABLE_PATH = Path(__file__).with_name(
+    "optical_depth_tables_sigmoid.npz")
 
 
 def _int_Ai(z):
@@ -80,6 +82,28 @@ def _cumulative(args):
     return integ
 
 
+def sigmoid_delta_grid(delta_N: int, delta_min: float) -> np.ndarray:
+    """The sigmoid-warped delta grid (reference
+    optical_depth_tables_sigmoid.py:172-177): resolution concentrated at
+    both delta -> 0 (soft photons) and delta -> 1 (near-total energy
+    transfer), where the log grid only resolves the former."""
+    A = np.log(1 / delta_min - 1)
+    return 1.0 / (1.0 + np.exp(-A * np.linspace(-1, 1, delta_N)))
+
+
+def _cumulative_sigmoid(args):
+    """Cumulative integral along the sigmoid-warped delta grid (reference
+    optical_depth_tables_sigmoid.py:168-193 — same left-point rule)."""
+    kind, chi, delta_N, delta_min = args
+    P = _photon_rate(chi) if kind == "photon" else _pair_rate(chi)
+    delta = sigmoid_delta_grid(delta_N, delta_min)
+    integ = np.zeros(delta_N)
+    integ[0] = quad(P, 0, delta[0])[0]
+    for i in range(1, delta_N):
+        integ[i] = integ[i - 1] + P(delta[i]) * (delta[i] - delta[i - 1])
+    return integ
+
+
 def table_gen(out_path: Path = TABLE_PATH, chi_N: int = 256,
               log_chi_min: float = -3.0, log_chi_max: float = 2.0,
               delta_N: int = 1024, log_delta_min: float = -3.0,
@@ -111,23 +135,74 @@ def table_gen(out_path: Path = TABLE_PATH, chi_N: int = 256,
     return out_path
 
 
-_cache = None
+def sigmoid_table_gen(out_path: Path = SIGMOID_TABLE_PATH, chi_N: int = 128,
+                      log_chi_min: float = -3.0, log_chi_max: float = 2.0,
+                      delta_N: int = 128, delta_min: float = 1.5e-4,
+                      processes: int | None = None):
+    """Sigmoid-warped sampling table variant (reference
+    optical_depth_tables_sigmoid.py:208-242, selected at runtime with
+    LAMBDAPIC_USE_SIGMOID_SAMPLING=1): same physics, delta grid warped by
+    a sigmoid instead of log-spaced. Schema matches the reference's npz."""
+    import multiprocessing
+
+    chi = np.logspace(log_chi_min, log_chi_max, chi_N)
+    with multiprocessing.Pool(processes) as pool:
+        photon_total = np.array(pool.map(_total, [("photon", x) for x in chi]))
+        pair_total = np.array(pool.map(_total, [("pair", x) for x in chi]))
+        photon_cum = np.array(pool.map(
+            _cumulative_sigmoid,
+            [("photon", x, delta_N, delta_min) for x in chi]))
+        pair_cum = np.array(pool.map(
+            _cumulative_sigmoid,
+            [("pair", x, delta_N, delta_min) for x in chi]))
+
+    np.savez(
+        out_path,
+        photon_prob_rate_total=photon_total,
+        pair_prob_rate_total=pair_total,
+        integral_photon_prob_along_delta=photon_cum,
+        integral_pair_prob_along_delta=pair_cum,
+        chi_N=chi_N,
+        log_chi_range=(log_chi_min, log_chi_max),
+        log_chi_delta=(log_chi_max - log_chi_min) / (chi_N - 1),
+        delta_N=delta_N,
+        delta_range=(delta_min, 1 - delta_min),
+        A=np.log(1 / delta_min - 1),
+    )
+    return out_path
 
 
-def load_tables():
-    """Load (and lazily generate) the optical-depth tables as numpy arrays."""
-    global _cache
-    if _cache is None:
-        if not TABLE_PATH.exists():
+_cache: dict = {}
+
+
+def use_sigmoid_tables() -> bool:
+    """Reference env switch (optical_depth.py:8-32)."""
+    return os.environ.get("LAMBDAPIC_USE_SIGMOID_SAMPLING") == "1"
+
+
+def load_tables(variant: str | None = None):
+    """Load (and lazily generate) the optical-depth tables as numpy arrays.
+    variant: 'log' (default) or 'sigmoid'; None reads
+    LAMBDAPIC_USE_SIGMOID_SAMPLING."""
+    if variant is None:
+        variant = "sigmoid" if use_sigmoid_tables() else "log"
+    if variant not in _cache:
+        path = SIGMOID_TABLE_PATH if variant == "sigmoid" else TABLE_PATH
+        if not path.exists():
             import warnings
             warnings.warn("QED tables missing; generating (takes minutes)")
-            table_gen()
-        f = np.load(TABLE_PATH)
-        _cache = {k: f[k] for k in f.files}
-    return _cache
+            (sigmoid_table_gen if variant == "sigmoid" else table_gen)()
+        f = np.load(path)
+        _cache[variant] = {k: f[k] for k in f.files}
+    return _cache[variant]
 
 
 if __name__ == "__main__":
-    print(f"generating QED tables -> {TABLE_PATH}")
-    table_gen()
+    import sys
+    if "--sigmoid" in sys.argv:
+        print(f"generating sigmoid QED tables -> {SIGMOID_TABLE_PATH}")
+        sigmoid_table_gen()
+    else:
+        print(f"generating QED tables -> {TABLE_PATH}")
+        table_gen()
     print("done")
