@@ -13,7 +13,7 @@ import bench as B
 CONFIG = os.environ.get("ABL_CONFIG", "laser-target")
 
 
-def run_case(label, steps=15, **switches):
+def run_case(label, steps=int(os.environ.get("ABL_STEPS", 15)), **switches):
     args = types.SimpleNamespace(nx=768, ny=768, ppc=10, tiling="cell",
                                  rebin=1, steps=steps, warmup=2, chunk=1,
                                  capacity_factor=1.6, migration="fast",

@@ -114,6 +114,66 @@ def _m2(d):
                                jnp.zeros_like(d)))
 
 
+# ----------------------------------------------------------------------
+# Block-occupancy skipping: localized plasmas (laser-solid targets, LWFA
+# bunches) leave most cell-blocks with zero alive particles, yet every
+# block pays the full tap/sort cost. The kernels below accept an
+# optional per-block occupancy mask (scalar-prefetched into SMEM) and
+# predicate the whole block body on it (pl.when), writing zeros for
+# skipped blocks — equivalent output, since dead slots are already
+# zero-sanitized by migrate_cells. Analogous waste does not exist in the
+# reference (dynamic per-patch arrays, particles.py:141-193); this is
+# the static-layout counterpart.
+# ----------------------------------------------------------------------
+
+def occ_skip_enabled() -> bool:
+    """Block-occupancy skipping switch (LAMBDAPIC_OCC_SKIP, default on).
+    Output-equivalent either way; off is an ablation/debug escape."""
+    import os
+    return os.environ.get("LAMBDAPIC_OCC_SKIP", "1") != "0"
+
+
+def block_occupancy(alive: jnp.ndarray) -> jnp.ndarray:
+    """(cap, *cells) bool -> (nbx, nby) int32: 1 where the push/deposit
+    kernel block at that grid position contains any alive slot. Block
+    granularity matches _blocks2/_blocks3 (what the K1/K2 kernels use)."""
+    cells = alive.shape[1:]
+    if len(cells) == 2:
+        bx, by = _blocks2(*cells)
+    else:
+        bx, by = _blocks3(cells[0], cells[1])
+    return _window_any(alive.any(0), bx, by)
+
+
+def _window_any(m: jnp.ndarray, bx: int, by: int) -> jnp.ndarray:
+    """any() over (bx, by) windows of the first two dims (trailing dims
+    reduce fully): (c0, c1, ...) bool -> (c0//bx, c1//by) int32."""
+    c = m.shape
+    nb0, nb1 = c[0] // bx, c[1] // by
+    m = m.reshape((nb0, bx, nb1, by) + c[2:])
+    axes = (1, 3) + tuple(range(4, m.ndim))
+    return jnp.any(m, axis=axes).astype(jnp.int32)
+
+
+def _occ_gridspec(occ, grid, in_specs, out_specs):
+    """pallas_call kwargs for the occupancy-predicated variant: the
+    (nbx, nby) int32 mask rides as a scalar-prefetch arg (SMEM), and
+    every index map gains the trailing scalar-ref argument."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def adapt(spec):
+        im = spec.index_map
+        return pl.BlockSpec(spec.block_shape,
+                            lambda *a, _im=im: _im(*a[:-1]))
+
+    single = isinstance(out_specs, pl.BlockSpec)
+    outs = adapt(out_specs) if single else [adapt(s) for s in out_specs]
+    return dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[adapt(s) for s in in_specs],
+        out_specs=outs))
+
+
 def _boris(ux, uy, uz, ex, ey, ez, bx, by, bz, q, m, dt, dtype):
     """Boris rotation (same expressions as ops/pusher.py::boris_push)."""
     efactor = jnp.asarray(q * dt / (2 * m * c_light), dtype)
@@ -202,7 +262,8 @@ def _fold_xy(rims, nx, ny, g, bx, by):
 
 def fused_push_cell_2d(eb_pad, x, y, ux, uy, uz, *, q: float, m: float,
                        dt: float, dx: float, dy: float, g: int,
-                       want_eb: bool = False, do_pos1: bool = True):
+                       want_eb: bool = False, do_pos1: bool = True,
+                       occ=None):
     """Returns (x', y', ux', uy', uz', ig'[, 6 gathered components]).
 
     eb_pad (6, nx+2g, ny+2g); particle arrays (cap, nx, ny) in
@@ -211,7 +272,9 @@ def fused_push_cell_2d(eb_pad, x, y, ux, uy, uz, *, q: float, m: float,
     the mid-step point (the step does pos-half + re-bin in XLA first,
     so the gather deltas stay within the 3/4-tap stencils). inv_gamma
     is recomputed from u (the migrate/sanitize invariants make this
-    bitwise-consistent)."""
+    bitwise-consistent). ``occ``: optional (nbx, nby) int32
+    block-occupancy mask (block_occupancy(alive)) — zero blocks skip
+    all tap work and write zeros (dead slots are zero anyway)."""
     cap, nx, ny = x.shape
     dtype = x.dtype
     bx, by = _blocks2(nx, ny)
@@ -222,63 +285,87 @@ def fused_push_cell_2d(eb_pad, x, y, ux, uy, uz, *, q: float, m: float,
     cdt_y = float(c_light * dt / dy)
     ebwin = _windows_2d(eb_pad, nbx, nby, bx, by, g, nyp)
 
-    def kernel(ebw_ref, x_ref, y_ref, ux_ref, uy_ref, uz_ref, *out_refs):
+    def kernel(*refs):
+        if occ is not None:
+            occ_ref, refs = refs[0], refs[1:]
+        ebw_ref, x_ref, y_ref, ux_ref, uy_ref, uz_ref = refs[:6]
+        out_refs = refs[6:]
         i = pl.program_id(0)
         j = pl.program_id(1)
-        xb = x_ref[...]
-        yb = y_ref[...]
-        uxb = ux_ref[...]
-        uyb = uy_ref[...]
-        uzb = uz_ref[...]
-        ig = 1.0 / jnp.sqrt(1.0 + uxb**2 + uyb**2 + uzb**2)
-        if do_pos1:
-            xm = xb + (0.5 * cdt_x) * uxb * ig
-            ym = yb + (0.5 * cdt_y) * uyb * ig
+
+        def compute():
+            xb = x_ref[...]
+            yb = y_ref[...]
+            uxb = ux_ref[...]
+            uyb = uy_ref[...]
+            uzb = uz_ref[...]
+            ig = 1.0 / jnp.sqrt(1.0 + uxb**2 + uyb**2 + uzb**2)
+            if do_pos1:
+                xm = xb + (0.5 * cdt_x) * uxb * ig
+                ym = yb + (0.5 * cdt_y) * uyb * ig
+            else:
+                xm, ym = xb, yb
+
+            shp = (cap, bx, by)
+            ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
+                  + i * bx).astype(dtype)
+            iy = (lax.broadcasted_iota(jnp.int32, shp, 2)
+                  + j * by).astype(dtype)
+            dxl = xm - ix
+            dyl = ym - iy
+            tapx = {"g": {o: _m2(o - dxl) for o in _GOFF},
+                    "h": {o: _m2(o + 0.5 - dxl) for o in _HOFF}}
+            tapy = {"g": {o: _m2(o - dyl) for o in _GOFF},
+                    "h": {o: _m2(o + 0.5 - dyl) for o in _HOFF}}
+
+            eb = []
+            for comp, sx_, sy_ in _COMPS2:
+                acc = jnp.zeros(shp, dtype)
+                for ox, tx in tapx[sx_].items():
+                    for oy, ty in tapy[sy_].items():
+                        f = ebw_ref[0, 0, comp, g + ox:g + ox + bx,
+                                    g + oy:g + oy + by]
+                        acc = acc + tx * ty * f[None]
+                eb.append(acc)
+
+            ux4, uy4, uz4, ig2 = _boris(uxb, uyb, uzb, *eb, q, m, dt,
+                                        dtype)
+            xn = xm + (0.5 * cdt_x) * ux4 * ig2
+            yn = ym + (0.5 * cdt_y) * uy4 * ig2
+
+            outs = [xn, yn, ux4, uy4, uz4, ig2] + (eb if want_eb else [])
+            for ref, val in zip(out_refs, outs):
+                ref[...] = val
+
+        if occ is None:
+            compute()
         else:
-            xm, ym = xb, yb
+            on = occ_ref[i, j] != 0
+            pl.when(on)(compute)
 
-        shp = (cap, bx, by)
-        ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
-              + i * bx).astype(dtype)
-        iy = (lax.broadcasted_iota(jnp.int32, shp, 2)
-              + j * by).astype(dtype)
-        dxl = xm - ix
-        dyl = ym - iy
-        tapx = {"g": {o: _m2(o - dxl) for o in _GOFF},
-                "h": {o: _m2(o + 0.5 - dxl) for o in _HOFF}}
-        tapy = {"g": {o: _m2(o - dyl) for o in _GOFF},
-                "h": {o: _m2(o + 0.5 - dyl) for o in _HOFF}}
-
-        eb = []
-        for comp, sx_, sy_ in _COMPS2:
-            acc = jnp.zeros(shp, dtype)
-            for ox, tx in tapx[sx_].items():
-                for oy, ty in tapy[sy_].items():
-                    f = ebw_ref[0, 0, comp, g + ox:g + ox + bx,
-                                g + oy:g + oy + by]
-                    acc = acc + tx * ty * f[None]
-            eb.append(acc)
-
-        ux4, uy4, uz4, ig2 = _boris(uxb, uyb, uzb, *eb, q, m, dt, dtype)
-        xn = xm + (0.5 * cdt_x) * ux4 * ig2
-        yn = ym + (0.5 * cdt_y) * uy4 * ig2
-
-        outs = [xn, yn, ux4, uy4, uz4, ig2] + (eb if want_eb else [])
-        for ref, val in zip(out_refs, outs):
-            ref[...] = val
+            @pl.when(jnp.logical_not(on))
+            def _():
+                # inv_gamma (index 5) gets 1, not 0: dead slots must keep
+                # 1/inv_gamma finite (QED chi, position pushes)
+                for k, ref in enumerate(out_refs):
+                    fill = 1.0 if k == 5 else 0.0
+                    ref[...] = jnp.full(ref.shape, fill, ref.dtype)
 
     pspec = pl.BlockSpec((cap, bx, by), lambda i, j: (0, i, j))
     wspec = pl.BlockSpec((1, 1, 6, wx, wy), lambda i, j: (i, j, 0, 0, 0))
     n_out = 6 + (6 if want_eb else 0)
     out_shape = [jax.ShapeDtypeStruct((cap, nx, ny), dtype)] * n_out
+    in_specs = [wspec] + [pspec] * 5
+    out_specs = [pspec] * n_out
+    if occ is None:
+        kw = dict(grid=(nbx, nby), in_specs=in_specs, out_specs=out_specs)
+        args = ()
+    else:
+        kw = _occ_gridspec(occ, (nbx, nby), in_specs, out_specs)
+        args = (occ,)
     return pl.pallas_call(
-        kernel,
-        grid=(nbx, nby),
-        in_specs=[wspec] + [pspec] * 5,
-        out_specs=[pspec] * n_out,
-        out_shape=out_shape,
-        **_compile_kwargs(),
-    )(ebwin, x, y, ux, uy, uz)
+        kernel, out_shape=out_shape, **kw, **_compile_kwargs(),
+    )(*args, ebwin, x, y, ux, uy, uz)
 
 
 # ======================================================================
@@ -286,9 +373,12 @@ def fused_push_cell_2d(eb_pad, x, y, ux, uy, uz, *, q: float, m: float,
 # ======================================================================
 
 def deposit_cell_2d_pallas(x, y, ux, uy, uz, inv_gamma, w, *, q: float,
-                           dx: float, dy: float, dt: float, g: int):
+                           dx: float, dy: float, dt: float, g: int,
+                           occ=None):
     """Same contract as ops/cell2d.py::deposit_cell_2d (home-cell binned
-    input; w == 0 for dead slots). Returns jpad (4, nx+2g, ny+2g)."""
+    input; w == 0 for dead slots). Returns jpad (4, nx+2g, ny+2g).
+    ``occ``: optional block-occupancy mask — zero blocks emit zero rims
+    without tap work."""
     cap, nx, ny = x.shape
     dtype = x.dtype
     bx, by = _blocks2(nx, ny)
@@ -299,82 +389,98 @@ def deposit_cell_2d_pallas(x, y, ux, uy, uz, inv_gamma, w, *, q: float,
     f_dx = float(q / (dy * dt))
     f_dy = float(q / (dx * dt))
 
-    def kernel(x_ref, y_ref, ux_ref, uy_ref, uz_ref, ig_ref, w_ref,
-               out_ref):
+    def kernel(*refs):
+        if occ is not None:
+            occ_ref, refs = refs[0], refs[1:]
+        (x_ref, y_ref, ux_ref, uy_ref, uz_ref, ig_ref, w_ref,
+         out_ref) = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
-        ig = ig_ref[...]
-        wb = w_ref[...]
-        vx = ux_ref[...] * ig * cdt_x
-        vy = uy_ref[...] * ig * cdt_y
-        vz = uz_ref[...] * ig * float(c_light)
-        shp = (cap, bx, by)
-        ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
-              + i * bx).astype(dtype)
-        iy = (lax.broadcasted_iota(jnp.int32, shp, 2)
-              + j * by).astype(dtype)
-        dxl = x_ref[...] - ix
-        dyl = y_ref[...] - iy
-
-        s0x = {o: _m2(o - (dxl - 0.5 * vx)) for o in _DOFF}
-        s1x = {o: _m2(o - (dxl + 0.5 * vx)) for o in _DOFF}
-        s0y = {o: _m2(o - (dyl - 0.5 * vy)) for o in _DOFF}
-        s1y = {o: _m2(o - (dyl + 0.5 * vy)) for o in _DOFF}
-
-        cd = f_cd * wb
-        fdx = f_dx * wb
-        fdy = f_dy * wb
-        cvz = cd * vz
-
-        fx_run = {}
-        acc = jnp.zeros(shp, dtype)
-        for o in _DOFF:
-            acc = acc + (s1x[o] - s0x[o])
-            fx_run[o] = -fdx * acc
-        gy_run = {}
-        acc = jnp.zeros(shp, dtype)
-        for o in _DOFF:
-            acc = acc + (s1y[o] - s0y[o])
-            gy_run[o] = -fdy * acc
-
         out_ref[...] = jnp.zeros(out_ref.shape, dtype)
-        for ox in _DOFF:
-            dsx = s1x[ox] - s0x[ox]
-            ax = s0x[ox] + 0.5 * dsx
-            for oy in _DOFF:
-                dsy = s1y[oy] - s0y[oy]
-                by_t = s0y[oy] + 0.5 * dsy
-                jx_c = (fx_run[ox] * by_t).sum(0)
-                jy_c = (ax * gy_run[oy]).sum(0)
-                jz_c = (cvz * (ax * by_t + dsx * dsy * (1.0 / 12.0))).sum(0)
-                rho_c = (cd * s1x[ox] * s1y[oy]).sum(0)
-                cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])   # (4, bx, by)
-                cur = out_ref[0, 0, :, 2 + ox:2 + ox + bx,
-                              2 + oy:2 + oy + by]
-                out_ref[0, 0, :, 2 + ox:2 + ox + bx,
-                        2 + oy:2 + oy + by] = cur + cell
+
+        def compute():
+            ig = ig_ref[...]
+            wb = w_ref[...]
+            vx = ux_ref[...] * ig * cdt_x
+            vy = uy_ref[...] * ig * cdt_y
+            vz = uz_ref[...] * ig * float(c_light)
+            shp = (cap, bx, by)
+            ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
+                  + i * bx).astype(dtype)
+            iy = (lax.broadcasted_iota(jnp.int32, shp, 2)
+                  + j * by).astype(dtype)
+            dxl = x_ref[...] - ix
+            dyl = y_ref[...] - iy
+
+            s0x = {o: _m2(o - (dxl - 0.5 * vx)) for o in _DOFF}
+            s1x = {o: _m2(o - (dxl + 0.5 * vx)) for o in _DOFF}
+            s0y = {o: _m2(o - (dyl - 0.5 * vy)) for o in _DOFF}
+            s1y = {o: _m2(o - (dyl + 0.5 * vy)) for o in _DOFF}
+
+            cd = f_cd * wb
+            fdx = f_dx * wb
+            fdy = f_dy * wb
+            cvz = cd * vz
+
+            fx_run = {}
+            acc = jnp.zeros(shp, dtype)
+            for o in _DOFF:
+                acc = acc + (s1x[o] - s0x[o])
+                fx_run[o] = -fdx * acc
+            gy_run = {}
+            acc = jnp.zeros(shp, dtype)
+            for o in _DOFF:
+                acc = acc + (s1y[o] - s0y[o])
+                gy_run[o] = -fdy * acc
+
+            for ox in _DOFF:
+                dsx = s1x[ox] - s0x[ox]
+                ax = s0x[ox] + 0.5 * dsx
+                for oy in _DOFF:
+                    dsy = s1y[oy] - s0y[oy]
+                    by_t = s0y[oy] + 0.5 * dsy
+                    jx_c = (fx_run[ox] * by_t).sum(0)
+                    jy_c = (ax * gy_run[oy]).sum(0)
+                    jz_c = (cvz * (ax * by_t
+                                   + dsx * dsy * (1.0 / 12.0))).sum(0)
+                    rho_c = (cd * s1x[ox] * s1y[oy]).sum(0)
+                    cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
+                    cur = out_ref[0, 0, :, 2 + ox:2 + ox + bx,
+                                  2 + oy:2 + oy + by]
+                    out_ref[0, 0, :, 2 + ox:2 + ox + bx,
+                            2 + oy:2 + oy + by] = cur + cell
+
+        if occ is None:
+            compute()
+        else:
+            pl.when(occ_ref[i, j] != 0)(compute)
 
     pspec = pl.BlockSpec((cap, bx, by), lambda i, j: (0, i, j))
     ospec = pl.BlockSpec((1, 1, 4, bx + 4, by + 4),
                          lambda i, j: (i, j, 0, 0, 0))
+    in_specs = [pspec] * 7
+    if occ is None:
+        kw = dict(grid=(nbx, nby), in_specs=in_specs, out_specs=ospec)
+        args = ()
+    else:
+        kw = _occ_gridspec(occ, (nbx, nby), in_specs, ospec)
+        args = (occ,)
     rims = pl.pallas_call(
         kernel,
-        grid=(nbx, nby),
-        in_specs=[pspec] * 7,
-        out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((nbx, nby, 4, bx + 4, by + 4),
                                        dtype),
-        **_compile_kwargs(),
-    )(x, y, ux, uy, uz, inv_gamma, w)
+        **kw, **_compile_kwargs(),
+    )(*args, x, y, ux, uy, uz, inv_gamma, w)
 
     return _fold_xy(rims, nx, ny, g, bx, by)
 
 
 def fused_push_cell_3d(eb_pad, x, y, z, ux, uy, uz, *, q: float, m: float,
                        dt: float, dx: float, dy: float, dz: float, g: int,
-                       want_eb: bool = False, do_pos1: bool = True):
+                       want_eb: bool = False, do_pos1: bool = True,
+                       occ=None):
     """3D fused [pos/]gather/Boris/pos: blocks over (x, y), z whole.
-    See fused_push_cell_2d for the do_pos1 contract."""
+    See fused_push_cell_2d for the do_pos1 and occ contracts."""
     cap, nx, ny, nz = x.shape
     dtype = x.dtype
     bx, by = _blocks3(nx, ny)
@@ -392,75 +498,101 @@ def fused_push_cell_3d(eb_pad, x, y, z, ux, uy, uz, *, q: float, m: float,
         rows.append(jnp.stack(cols))
     ebwin = jnp.stack(rows)        # (nbx, nby, 6, wx, wy, nzp)
 
-    def kernel(ebw_ref, x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref,
-               *out_refs):
+    def kernel(*refs):
+        if occ is not None:
+            occ_ref, refs = refs[0], refs[1:]
+        ebw_ref, x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref = refs[:7]
+        out_refs = refs[7:]
         i = pl.program_id(0)
         j = pl.program_id(1)
-        xb, yb, zb = x_ref[...], y_ref[...], z_ref[...]
-        uxb, uyb, uzb = ux_ref[...], uy_ref[...], uz_ref[...]
-        ig = 1.0 / jnp.sqrt(1.0 + uxb**2 + uyb**2 + uzb**2)
-        if do_pos1:
-            xm = xb + (0.5 * cdt[0]) * uxb * ig
-            ym = yb + (0.5 * cdt[1]) * uyb * ig
-            zm = zb + (0.5 * cdt[2]) * uzb * ig
+
+        def compute():
+            xb, yb, zb = x_ref[...], y_ref[...], z_ref[...]
+            uxb, uyb, uzb = ux_ref[...], uy_ref[...], uz_ref[...]
+            ig = 1.0 / jnp.sqrt(1.0 + uxb**2 + uyb**2 + uzb**2)
+            if do_pos1:
+                xm = xb + (0.5 * cdt[0]) * uxb * ig
+                ym = yb + (0.5 * cdt[1]) * uyb * ig
+                zm = zb + (0.5 * cdt[2]) * uzb * ig
+            else:
+                xm, ym, zm = xb, yb, zb
+
+            shp = (cap, bx, by, nz)
+            ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
+                  + i * bx).astype(dtype)
+            iy = (lax.broadcasted_iota(jnp.int32, shp, 2)
+                  + j * by).astype(dtype)
+            iz = lax.broadcasted_iota(jnp.int32, shp, 3).astype(dtype)
+            dxl, dyl, dzl = xm - ix, ym - iy, zm - iz
+            tapx = {"g": {o: _m2(o - dxl) for o in _GOFF},
+                    "h": {o: _m2(o + 0.5 - dxl) for o in _HOFF}}
+            tapy = {"g": {o: _m2(o - dyl) for o in _GOFF},
+                    "h": {o: _m2(o + 0.5 - dyl) for o in _HOFF}}
+            tapz = {"g": {o: _m2(o - dzl) for o in _GOFF},
+                    "h": {o: _m2(o + 0.5 - dzl) for o in _HOFF}}
+
+            eb = []
+            for comp, sx_, sy_, sz_ in _COMPS3:
+                acc = jnp.zeros(shp, dtype)
+                for oy, ty in tapy[sy_].items():
+                    for oz, tz in tapz[sz_].items():
+                        tyz = ty * tz
+                        for ox, tx in tapx[sx_].items():
+                            f = ebw_ref[0, 0, comp,
+                                        g + ox:g + ox + bx,
+                                        g + oy:g + oy + by,
+                                        g + oz:g + oz + nz]
+                            acc = acc + tx * tyz * f[None]
+                eb.append(acc)
+
+            ux4, uy4, uz4, ig2 = _boris(uxb, uyb, uzb, *eb, q, m, dt,
+                                        dtype)
+            xn = xm + (0.5 * cdt[0]) * ux4 * ig2
+            yn = ym + (0.5 * cdt[1]) * uy4 * ig2
+            zn = zm + (0.5 * cdt[2]) * uz4 * ig2
+
+            outs = [xn, yn, zn, ux4, uy4, uz4, ig2] + (
+                eb if want_eb else [])
+            for ref, val in zip(out_refs, outs):
+                ref[...] = val
+
+        if occ is None:
+            compute()
         else:
-            xm, ym, zm = xb, yb, zb
+            on = occ_ref[i, j] != 0
+            pl.when(on)(compute)
 
-        shp = (cap, bx, by, nz)
-        ix = (lax.broadcasted_iota(jnp.int32, shp, 1) + i * bx).astype(dtype)
-        iy = (lax.broadcasted_iota(jnp.int32, shp, 2) + j * by).astype(dtype)
-        iz = lax.broadcasted_iota(jnp.int32, shp, 3).astype(dtype)
-        dxl, dyl, dzl = xm - ix, ym - iy, zm - iz
-        tapx = {"g": {o: _m2(o - dxl) for o in _GOFF},
-                "h": {o: _m2(o + 0.5 - dxl) for o in _HOFF}}
-        tapy = {"g": {o: _m2(o - dyl) for o in _GOFF},
-                "h": {o: _m2(o + 0.5 - dyl) for o in _HOFF}}
-        tapz = {"g": {o: _m2(o - dzl) for o in _GOFF},
-                "h": {o: _m2(o + 0.5 - dzl) for o in _HOFF}}
-
-        eb = []
-        for comp, sx_, sy_, sz_ in _COMPS3:
-            acc = jnp.zeros(shp, dtype)
-            for oy, ty in tapy[sy_].items():
-                for oz, tz in tapz[sz_].items():
-                    tyz = ty * tz
-                    for ox, tx in tapx[sx_].items():
-                        f = ebw_ref[0, 0, comp,
-                                    g + ox:g + ox + bx,
-                                    g + oy:g + oy + by,
-                                    g + oz:g + oz + nz]
-                        acc = acc + tx * tyz * f[None]
-            eb.append(acc)
-
-        ux4, uy4, uz4, ig2 = _boris(uxb, uyb, uzb, *eb, q, m, dt, dtype)
-        xn = xm + (0.5 * cdt[0]) * ux4 * ig2
-        yn = ym + (0.5 * cdt[1]) * uy4 * ig2
-        zn = zm + (0.5 * cdt[2]) * uz4 * ig2
-
-        outs = [xn, yn, zn, ux4, uy4, uz4, ig2] + (eb if want_eb else [])
-        for ref, val in zip(out_refs, outs):
-            ref[...] = val
+            @pl.when(jnp.logical_not(on))
+            def _():
+                # inv_gamma (index 6) gets 1, not 0 (see 2D kernel)
+                for k, ref in enumerate(out_refs):
+                    fill = 1.0 if k == 6 else 0.0
+                    ref[...] = jnp.full(ref.shape, fill, ref.dtype)
 
     pspec = pl.BlockSpec((cap, bx, by, nz), lambda i, j: (0, i, j, 0))
     wspec = pl.BlockSpec((1, 1, 6, wx, wy, nzp),
                          lambda i, j: (i, j, 0, 0, 0, 0))
     n_out = 7 + (6 if want_eb else 0)
     out_shape = [jax.ShapeDtypeStruct((cap, nx, ny, nz), dtype)] * n_out
+    in_specs = [wspec] + [pspec] * 6
+    out_specs = [pspec] * n_out
+    if occ is None:
+        kw = dict(grid=(nbx, nby), in_specs=in_specs, out_specs=out_specs)
+        args = ()
+    else:
+        kw = _occ_gridspec(occ, (nbx, nby), in_specs, out_specs)
+        args = (occ,)
     return pl.pallas_call(
-        kernel,
-        grid=(nbx, nby),
-        in_specs=[wspec] + [pspec] * 6,
-        out_specs=[pspec] * n_out,
-        out_shape=out_shape,
-        **_compile_kwargs(),
-    )(ebwin, x, y, z, ux, uy, uz)
+        kernel, out_shape=out_shape, **kw, **_compile_kwargs(),
+    )(*args, ebwin, x, y, z, ux, uy, uz)
 
 
 def deposit_cell_3d_pallas(x, y, z, ux, uy, uz, inv_gamma, w, *, q: float,
                            dx: float, dy: float, dz: float, dt: float,
-                           g: int):
+                           g: int, occ=None):
     """3D 5-tap Esirkepov deposit (post-re-bin), blocked over (x, y);
-    same closed forms as ops/cell3d.py::deposit_cell_3d."""
+    same closed forms as ops/cell3d.py::deposit_cell_3d. ``occ``: see
+    deposit_cell_2d_pallas."""
     cap, nx, ny, nz = x.shape
     dtype = x.dtype
     bx, by = _blocks3(nx, ny)
@@ -473,77 +605,95 @@ def deposit_cell_3d_pallas(x, y, z, ux, uy, uz, inv_gamma, w, *, q: float,
     f_dy = float(q / (dx * dz * dt))
     f_dz = float(q / (dx * dy * dt))
 
-    def kernel(x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, ig_ref, w_ref,
-               out_ref):
+    def kernel(*refs):
+        if occ is not None:
+            occ_ref, refs = refs[0], refs[1:]
+        (x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref, ig_ref, w_ref,
+         out_ref) = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
-        ig = ig_ref[...]
-        wb = w_ref[...]
-        vx = ux_ref[...] * ig * cdt[0]
-        vy = uy_ref[...] * ig * cdt[1]
-        vz = uz_ref[...] * ig * cdt[2]
-        shp = (cap, bx, by, nz)
-        ix = (lax.broadcasted_iota(jnp.int32, shp, 1) + i * bx).astype(dtype)
-        iy = (lax.broadcasted_iota(jnp.int32, shp, 2) + j * by).astype(dtype)
-        iz = lax.broadcasted_iota(jnp.int32, shp, 3).astype(dtype)
-        dxl, dyl, dzl = x_ref[...] - ix, y_ref[...] - iy, z_ref[...] - iz
-
-        def taps(d, v):
-            s0 = {o: _m2(o - (d - 0.5 * v)) for o in _DOFF}
-            s1 = {o: _m2(o - (d + 0.5 * v)) for o in _DOFF}
-            ds = {o: s1[o] - s0[o] for o in _DOFF}
-            a = {o: s0[o] + 0.5 * ds[o] for o in _DOFF}
-            cc = {o: 0.5 * s0[o] + ds[o] * (1.0 / 3.0) for o in _DOFF}
-            run = {}
-            acc = jnp.zeros(shp, dtype)
-            for o in _DOFF:
-                acc = acc + ds[o]
-                run[o] = acc
-            return s0, s1, ds, a, cc, run
-
-        s0x, s1x, dsx, ax, cx, runx = taps(dxl, vx)
-        s0y, s1y, dsy, ay, cy, runy = taps(dyl, vy)
-        s0z, s1z, dsz, az, cz, runz = taps(dzl, vz)
-
-        cd = f_cd * wb
-        fdx = f_dx * wb
-        fdy = f_dy * wb
-        fdz = f_dz * wb
-
         out_ref[...] = jnp.zeros(out_ref.shape, dtype)
-        for oy in _DOFF:
-            for oz in _DOFF:
-                pyz_jx = -(ay[oy] * s0z[oz] + cy[oy] * dsz[oz]) * fdx
-                pyz_jy = -(runy[oy] * s0z[oz]) * fdy
-                pyz_jy2 = -(runy[oy] * dsz[oz]) * fdy
-                pyz_jz = -(runz[oz] * s0y[oy]) * fdz
-                pyz_jz2 = -(runz[oz] * dsy[oy]) * fdz
-                pyz_r = (s1y[oy] * s1z[oz]) * cd
-                for ox in _DOFF:
-                    jx_c = (runx[ox] * pyz_jx).sum(0)
-                    jy_c = (ax[ox] * pyz_jy + cx[ox] * pyz_jy2).sum(0)
-                    jz_c = (ax[ox] * pyz_jz + cx[ox] * pyz_jz2).sum(0)
-                    rho_c = (s1x[ox] * pyz_r).sum(0)
-                    cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
-                    cur = out_ref[0, 0, :, 2 + ox:2 + ox + bx,
-                                  2 + oy:2 + oy + by,
-                                  g + oz:g + oz + nz]
-                    out_ref[0, 0, :, 2 + ox:2 + ox + bx,
-                            2 + oy:2 + oy + by,
-                            g + oz:g + oz + nz] = cur + cell
+
+        def compute():
+            ig = ig_ref[...]
+            wb = w_ref[...]
+            vx = ux_ref[...] * ig * cdt[0]
+            vy = uy_ref[...] * ig * cdt[1]
+            vz = uz_ref[...] * ig * cdt[2]
+            shp = (cap, bx, by, nz)
+            ix = (lax.broadcasted_iota(jnp.int32, shp, 1)
+                  + i * bx).astype(dtype)
+            iy = (lax.broadcasted_iota(jnp.int32, shp, 2)
+                  + j * by).astype(dtype)
+            iz = lax.broadcasted_iota(jnp.int32, shp, 3).astype(dtype)
+            dxl = x_ref[...] - ix
+            dyl = y_ref[...] - iy
+            dzl = z_ref[...] - iz
+
+            def taps(d, v):
+                s0 = {o: _m2(o - (d - 0.5 * v)) for o in _DOFF}
+                s1 = {o: _m2(o - (d + 0.5 * v)) for o in _DOFF}
+                ds = {o: s1[o] - s0[o] for o in _DOFF}
+                a = {o: s0[o] + 0.5 * ds[o] for o in _DOFF}
+                cc = {o: 0.5 * s0[o] + ds[o] * (1.0 / 3.0) for o in _DOFF}
+                run = {}
+                acc = jnp.zeros(shp, dtype)
+                for o in _DOFF:
+                    acc = acc + ds[o]
+                    run[o] = acc
+                return s0, s1, ds, a, cc, run
+
+            s0x, s1x, dsx, ax, cx, runx = taps(dxl, vx)
+            s0y, s1y, dsy, ay, cy, runy = taps(dyl, vy)
+            s0z, s1z, dsz, az, cz, runz = taps(dzl, vz)
+
+            cd = f_cd * wb
+            fdx = f_dx * wb
+            fdy = f_dy * wb
+            fdz = f_dz * wb
+
+            for oy in _DOFF:
+                for oz in _DOFF:
+                    pyz_jx = -(ay[oy] * s0z[oz] + cy[oy] * dsz[oz]) * fdx
+                    pyz_jy = -(runy[oy] * s0z[oz]) * fdy
+                    pyz_jy2 = -(runy[oy] * dsz[oz]) * fdy
+                    pyz_jz = -(runz[oz] * s0y[oy]) * fdz
+                    pyz_jz2 = -(runz[oz] * dsy[oy]) * fdz
+                    pyz_r = (s1y[oy] * s1z[oz]) * cd
+                    for ox in _DOFF:
+                        jx_c = (runx[ox] * pyz_jx).sum(0)
+                        jy_c = (ax[ox] * pyz_jy + cx[ox] * pyz_jy2).sum(0)
+                        jz_c = (ax[ox] * pyz_jz + cx[ox] * pyz_jz2).sum(0)
+                        rho_c = (s1x[ox] * pyz_r).sum(0)
+                        cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
+                        cur = out_ref[0, 0, :, 2 + ox:2 + ox + bx,
+                                      2 + oy:2 + oy + by,
+                                      g + oz:g + oz + nz]
+                        out_ref[0, 0, :, 2 + ox:2 + ox + bx,
+                                2 + oy:2 + oy + by,
+                                g + oz:g + oz + nz] = cur + cell
+
+        if occ is None:
+            compute()
+        else:
+            pl.when(occ_ref[i, j] != 0)(compute)
 
     pspec = pl.BlockSpec((cap, bx, by, nz), lambda i, j: (0, i, j, 0))
     ospec = pl.BlockSpec((1, 1, 4, bx + 4, by + 4, nzp),
                          lambda i, j: (i, j, 0, 0, 0, 0))
+    in_specs = [pspec] * 8
+    if occ is None:
+        kw = dict(grid=(nbx, nby), in_specs=in_specs, out_specs=ospec)
+        args = ()
+    else:
+        kw = _occ_gridspec(occ, (nbx, nby), in_specs, ospec)
+        args = (occ,)
     rims = pl.pallas_call(
         kernel,
-        grid=(nbx, nby),
-        in_specs=[pspec] * 8,
-        out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct(
             (nbx, nby, 4, bx + 4, by + 4, nzp), dtype),
-        **_compile_kwargs(),
-    )(x, y, z, ux, uy, uz, inv_gamma, w)
+        **kw, **_compile_kwargs(),
+    )(*args, x, y, z, ux, uy, uz, inv_gamma, w)
 
     return _fold_xy(rims, nx, ny, g, bx, by)
 
@@ -663,7 +813,7 @@ def _mig_blocks(cells: Tuple[int, ...], axis: int = 0) -> Tuple[int, int]:
 
 
 def migrate_axis_fused(key, payloads, merge_idx, axis: int,
-                       strips_lo, strips_hi):
+                       strips_lo, strips_hi, occ=None):
     """One migration axis for the cell engine, fused: per-cell slot sort
     (5-way key), ±1-cell neighbor exchange, overwrite/merge placement and
     merge counting — one HBM read + one write per payload array, replacing
@@ -689,6 +839,12 @@ def migrate_axis_fused(key, payloads, merge_idx, axis: int,
     other-dim's block extent is 8, not 128-divisible), an 8-wide
     broadcast dummy dim is appended — HBM cost x8 of a strip (small),
     VMEM cost sliced away before sorting.
+
+    ``occ``: optional (n_blocks_i, n_blocks_j) int32 — blocks with no
+    alive slot AND no arriving strip donor skip the sorting networks and
+    write all-dead outputs (the caller computes arrival-exact occupancy
+    from the exchanged key strips, so cross-device arrivals into empty
+    blocks are never skipped).
 
     Returns (key_out, payloads_out, n_merged) where key_out is 2 for
     alive slots and 3 for dead, and n_merged is a scalar int32."""
@@ -753,6 +909,8 @@ def migrate_axis_fused(key, payloads, merge_idx, axis: int,
     n_pay = len(payloads)
 
     def kernel(*refs):
+        if occ is not None:
+            occ_ref, refs = refs[0], refs[1:]
         k_ref = refs[0]
         p_refs = refs[1:1 + n_pay]
         sl_refs = refs[1 + n_pay:2 + 2 * n_pay]
@@ -760,6 +918,7 @@ def migrate_axis_fused(key, payloads, merge_idx, axis: int,
         out_k = refs[3 + 3 * n_pay]
         out_p = refs[4 + 3 * n_pay:4 + 4 * n_pay]
         out_m = refs[4 + 4 * n_pay]
+        is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
         def sort_rows(rows_k, rows_v):
             rk, rv = list(rows_k), [list(r) for r in rows_v]
@@ -784,94 +943,140 @@ def migrate_axis_fused(key, payloads, merge_idx, axis: int,
             return [lax.slice_in_dim(v, a, a + 1, axis=1)
                     .reshape(halo_shape) for a in range(cap)]
 
-        rk, rv = sort_rows(main_rows(k_ref),
-                           [main_rows(r) for r in p_refs])
-        slk, slv = sort_rows(strip_rows(sl_refs[0]),
-                             [strip_rows(r) for r in sl_refs[1:]])
-        shk, shv = sort_rows(strip_rows(sh_refs[0]),
-                             [strip_rows(r) for r in sh_refs[1:]])
+        def compute():
+            rk, rv = sort_rows(main_rows(k_ref),
+                               [main_rows(r) for r in p_refs])
+            slk, slv = sort_rows(strip_rows(sl_refs[0]),
+                                 [strip_rows(r) for r in sl_refs[1:]])
+            shk, shv = sort_rows(strip_rows(sh_refs[0]),
+                                 [strip_rows(r) for r in sh_refs[1:]])
 
-        def shift_lo(strip_row, main_row):
-            # lo-source col c = sorted col c-1 (strip for c=0)
-            body = lax.slice_in_dim(main_row, 0,
-                                    main_row.shape[maxis] - 1, axis=maxis)
-            return jnp.concatenate([strip_row, body], axis=maxis)
+            def shift_lo(strip_row, main_row):
+                # lo-source col c = sorted col c-1 (strip for c=0)
+                body = lax.slice_in_dim(main_row, 0,
+                                        main_row.shape[maxis] - 1,
+                                        axis=maxis)
+                return jnp.concatenate([strip_row, body], axis=maxis)
 
-        def shift_hi(strip_row, main_row):
-            body = lax.slice_in_dim(main_row, 1, main_row.shape[maxis],
-                                    axis=maxis)
-            return jnp.concatenate([body, strip_row], axis=maxis)
+            def shift_hi(strip_row, main_row):
+                body = lax.slice_in_dim(main_row, 1,
+                                        main_row.shape[maxis], axis=maxis)
+                return jnp.concatenate([body, strip_row], axis=maxis)
 
-        n_merged = jnp.zeros((), jnp.int32)
-        out_rows_k = []
-        out_rows_p = [[] for _ in range(n_pay)]
-        w_i = merge_idx[0] if merge_idx else -1
-        for a in range(cap):
-            lo_k = shift_lo(slk[a], rk[a])
-            hi_k = shift_hi(shk[a], rk[a])
-            val_lo = lo_k == 0
-            val_hi = hi_k == 4
-            stay = rk[a] == 2
-            alive_new = val_lo | val_hi | stay
-            n_src = (val_lo.astype(jnp.int32) + val_hi.astype(jnp.int32)
-                     + stay.astype(jnp.int32))
-            multi = n_src >= 2
-            n_merged = n_merged + jnp.sum(
-                jnp.maximum(n_src - 1, 0)).astype(jnp.int32)
-            if merge_idx:
-                w_lo_full = shift_lo(slv[w_i][a], rv[w_i][a])
-                w_hi_full = shift_hi(shv[w_i][a], rv[w_i][a])
-                w_lo = jnp.where(val_lo, w_lo_full, 0.0)
-                w_hi = jnp.where(val_hi, w_hi_full, 0.0)
-                w_res = jnp.where(stay, rv[w_i][a], 0.0)
-                wsum = w_lo + w_hi + w_res
-                wsafe = jnp.maximum(wsum, jnp.asarray(
-                    1e-300 if wsum.dtype == jnp.float64 else 1e-30,
-                    wsum.dtype))
+            n_merged = jnp.zeros((), jnp.int32)
+            out_rows_k = []
+            out_rows_p = [[] for _ in range(n_pay)]
+            w_i = merge_idx[0] if merge_idx else -1
+            for a in range(cap):
+                lo_k = shift_lo(slk[a], rk[a])
+                hi_k = shift_hi(shk[a], rk[a])
+                val_lo = lo_k == 0
+                val_hi = hi_k == 4
+                stay = rk[a] == 2
+                alive_new = val_lo | val_hi | stay
+                n_src = (val_lo.astype(jnp.int32)
+                         + val_hi.astype(jnp.int32)
+                         + stay.astype(jnp.int32))
+                multi = n_src >= 2
+                n_merged = n_merged + jnp.sum(
+                    jnp.maximum(n_src - 1, 0)).astype(jnp.int32)
+                if merge_idx:
+                    w_lo_full = shift_lo(slv[w_i][a], rv[w_i][a])
+                    w_hi_full = shift_hi(shv[w_i][a], rv[w_i][a])
+                    w_lo = jnp.where(val_lo, w_lo_full, 0.0)
+                    w_hi = jnp.where(val_hi, w_hi_full, 0.0)
+                    w_res = jnp.where(stay, rv[w_i][a], 0.0)
+                    wsum = w_lo + w_hi + w_res
+                    wsafe = jnp.maximum(wsum, jnp.asarray(
+                        1e-300 if wsum.dtype == jnp.float64 else 1e-30,
+                        wsum.dtype))
+                for p in range(n_pay):
+                    lo_v = shift_lo(slv[p][a], rv[p][a])
+                    hi_v = shift_hi(shv[p][a], rv[p][a])
+                    sel = jnp.where(val_lo, lo_v,
+                                    jnp.where(val_hi, hi_v, rv[p][a]))
+                    if merge_idx and p in merge_idx:
+                        if p == w_i:
+                            mg = wsum
+                        else:
+                            mg = (w_lo * lo_v + w_hi * hi_v
+                                  + w_res * rv[p][a]) / wsafe
+                        sel = jnp.where(multi, mg.astype(sel.dtype), sel)
+                    out_rows_p[p].append(sel)
+                out_rows_k.append(
+                    jnp.where(alive_new, 2, 3).astype(jnp.int32))
+
+            out_k[...] = jnp.concatenate(out_rows_k, axis=0)
             for p in range(n_pay):
-                lo_v = shift_lo(slv[p][a], rv[p][a])
-                hi_v = shift_hi(shv[p][a], rv[p][a])
-                sel = jnp.where(val_lo, lo_v,
-                                jnp.where(val_hi, hi_v, rv[p][a]))
-                if merge_idx and p in merge_idx:
-                    if p == w_i:
-                        mg = wsum
-                    else:
-                        mg = (w_lo * lo_v + w_hi * hi_v
-                              + w_res * rv[p][a]) / wsafe
-                    sel = jnp.where(multi, mg.astype(sel.dtype), sel)
-                out_rows_p[p].append(sel)
-            out_rows_k.append(jnp.where(alive_new, 2, 3).astype(jnp.int32))
+                out_p[p][...] = jnp.concatenate(out_rows_p[p], axis=0)
+            # merge-count reduction: constant-index-map block stays
+            # resident in VMEM across the (sequential) grid; zero it on
+            # the first step, accumulate after, flush once at the end
+            prev = jnp.where(is_first, 0, out_m[...])
+            out_m[...] = prev + n_merged
 
-        out_k[...] = jnp.concatenate(out_rows_k, axis=0)
-        for p in range(n_pay):
-            out_p[p][...] = jnp.concatenate(out_rows_p[p], axis=0)
-        # merge-count reduction: constant-index-map block stays resident
-        # in VMEM across the (sequential) grid; zero it on the first
-        # step, accumulate after, flush once at the end
-        is_first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-        prev = jnp.where(is_first, 0, out_m[...])
-        out_m[...] = prev + n_merged
+        if occ is None:
+            compute()
+        else:
+            on = occ_ref[pl.program_id(0), pl.program_id(1)] != 0
+            pl.when(on)(compute)
+
+            @pl.when(jnp.logical_not(on))
+            def _():
+                # no alive slots and no arrivals: all-dead outputs
+                out_k[...] = jnp.full(out_k.shape, 3, jnp.int32)
+                for p in range(n_pay):
+                    out_p[p][...] = jnp.zeros(out_p[p].shape,
+                                              out_p[p].dtype)
+                out_m[...] = jnp.where(is_first, 0, out_m[...])
 
     mspec = pl.BlockSpec(tuple(blk), imap_main)
     sspec = pl.BlockSpec(sblk, imap_strip)
     cnt_spec = pl.BlockSpec((8, 128), lambda i, j: (0, 0))
     strips = [relayout_strip(s) for s in (*strips_lo, *strips_hi)]
+    in_specs = [mspec] * (1 + n_pay) + [sspec] * (2 * (1 + n_pay))
+    out_specs = [mspec] * (1 + n_pay) + [cnt_spec]
+    if occ is None:
+        kw = dict(grid=grid, in_specs=in_specs, out_specs=out_specs)
+        args = ()
+    else:
+        kw = _occ_gridspec(occ, grid, in_specs, out_specs)
+        args = (occ,)
     outs = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[mspec] * (1 + n_pay) + [sspec] * (2 * (1 + n_pay)),
-        out_specs=[mspec] * (1 + n_pay) + [cnt_spec],
         out_shape=([jax.ShapeDtypeStruct(key.shape, jnp.int32)]
                    + [jax.ShapeDtypeStruct(a.shape, a.dtype)
                       for a in payloads]
                    + [jax.ShapeDtypeStruct((8, 128), jnp.int32)]),
-        **_compile_kwargs(),
-    )(key, *payloads, *strips)
+        **kw, **_compile_kwargs(),
+    )(*args, key, *payloads, *strips)
     key_out = outs[0]
     pay_out = list(outs[1:1 + n_pay])
     n_merged = outs[1 + n_pay][0, 0]
     return key_out, pay_out, n_merged
+
+
+def _mig_occupancy(alive, key_lo, key_hi, axis: int, bx: int, by: int):
+    """Exact per-block occupancy for one fused-migration axis: a block
+    needs work iff it holds any alive slot (residents, including donors
+    about to leave) OR any strip entry donates into it (key 0 in the lo
+    strip = arriving from below, key 4 in the hi strip = arriving from
+    above; 9 = open-boundary invalid, never counted). key_lo/key_hi are
+    the wrap-fixed, device-exchanged key strips BEFORE the kernel's
+    Mosaic relayout: key-shaped with array axis 1+axis replaced by the
+    number of blocks along that axis."""
+    res = _window_any(alive.any(0), bx, by).astype(bool)
+    arr = ((key_lo == 0) | (key_hi == 4)).any(0)
+    if arr.ndim > 2:
+        arr = arr.any(tuple(range(2, arr.ndim)))
+    nbx, nby = res.shape
+    if axis == 0:
+        arr = arr.reshape(nbx, nby, -1).any(-1)
+    elif axis == 1:
+        arr = arr.reshape(nbx, -1, nby).any(1)
+    else:  # z is unblocked: strips are (cap, nx, ny, 1) -> window x, y
+        arr = _window_any(arr, bx, by).astype(bool)
+    return (res | arr).astype(jnp.int32)
 
 
 def _axis_strips(arr, axis: int, blk: int):
@@ -890,13 +1095,20 @@ def _axis_strips(arr, axis: int, blk: int):
     return strip_lo, strip_hi
 
 
-def migrate_cells_fused(data, alive, plan, *, recompute_ig: bool = False):
+def migrate_cells_fused(data, alive, plan, *, recompute_ig: bool = False,
+                        skip_empty: bool | None = None):
     """Drop-in replacement for ops/cell2d.py::migrate_cells (fast path)
     built on migrate_axis_fused. Same semantics: per-axis 5-way-key
     re-binning with merge-instead-of-drop; returns (data, alive, n_lost)
-    where n_lost counts merge events."""
+    where n_lost counts merge events.
+
+    skip_empty: predicate each kernel block on exact occupancy — any
+    alive resident OR any arriving donor in the (device-exchanged) key
+    strips — so vacuum regions cost nothing (see block_occupancy)."""
     from .cell2d import _TRANSIENT
 
+    if skip_empty is None:
+        skip_empty = occ_skip_enabled()
     cap = alive.shape[0]
     n_lost = jnp.int32(0)
     transient = set(_TRANSIENT)
@@ -966,8 +1178,12 @@ def migrate_cells_fused(data, alive, plan, *, recompute_ig: bool = False):
             strips_l.append(sl)
             strips_h.append(sh)
 
+        occ = None
+        if skip_empty:
+            occ = _mig_occupancy(alive, strips_l[0], strips_h[0], axis,
+                                 bx, by)
         key_out, pay_out, n_m = migrate_axis_fused(
-            key, payloads, merge_idx, axis, strips_l, strips_h)
+            key, payloads, merge_idx, axis, strips_l, strips_h, occ=occ)
         n_lost = n_lost + n_m
         data = {**data, **dict(zip(names, pay_out))}
         alive = key_out == 2

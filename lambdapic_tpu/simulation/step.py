@@ -346,6 +346,19 @@ class StepBuilder:
                 pos = tuple(data[c] for c in coords)
                 ig = data["inv_gamma"]
 
+            # block-occupancy skipping for the pallas kernels: vacuum
+            # blocks (no alive slot) cost one SMEM scalar read instead of
+            # the full tap/sort work — exact, since particles only ever
+            # touch their home block post-re-bin. Recomputed fresh before
+            # each consumer (alive can shrink via QED between K1 and the
+            # deposit; callbacks can mutate it on the split path).
+            def _occ():
+                from ..ops.cellpallas import (block_occupancy,
+                                              occ_skip_enabled)
+                if not occ_skip_enabled():
+                    return None
+                return block_occupancy(alive)
+
             if fused:
                 from ..ops.cellpallas import (fused_push_cell_2d,
                                               fused_push_cell_3d)
@@ -355,7 +368,7 @@ class StepBuilder:
                         eb_pad, pos[0], pos[1], data["ux"],
                         data["uy"], data["uz"], q=sp.q, m=sp.m, dt=dt,
                         dx=grid.dx, dy=grid.dy, g=g, want_eb=want_eb,
-                        do_pos1=False)
+                        do_pos1=False, occ=_occ())
                     new_pos, new_u = outs[:2], outs[2:5]
                     new_ig, ebs = outs[5], outs[6:]
                 else:
@@ -363,7 +376,8 @@ class StepBuilder:
                         eb_pad, pos[0], pos[1], pos[2],
                         data["ux"], data["uy"], data["uz"], q=sp.q,
                         m=sp.m, dt=dt, dx=grid.dx, dy=grid.dy,
-                        dz=grid.dz, g=g, want_eb=want_eb, do_pos1=False)
+                        dz=grid.dz, g=g, want_eb=want_eb, do_pos1=False,
+                        occ=_occ())
                     new_pos, new_u = outs[:3], outs[3:6]
                     new_ig, ebs = outs[6], outs[7:]
                 if want_eb:
@@ -463,20 +477,25 @@ class StepBuilder:
                     if use_pallas_cell:
                         from ..ops.cellpallas import \
                             deposit_cell_2d_pallas as _dep2
+                        dep_kw = {"occ": _occ()}
                     else:
                         from ..ops.cell2d import deposit_cell_2d as _dep2
+                        dep_kw = {}
                     jpad = _dep2(
                         pos[0], pos[1], ux, uy, uz, ig, w, q=sp.q,
-                        dx=grid.dx, dy=grid.dy, dt=dt, g=g)
+                        dx=grid.dx, dy=grid.dy, dt=dt, g=g, **dep_kw)
                 elif cell_layout:
                     if use_pallas_cell:
                         from ..ops.cellpallas import \
                             deposit_cell_3d_pallas as _dep3
+                        dep_kw = {"occ": _occ()}
                     else:
                         from ..ops.cell3d import deposit_cell_3d as _dep3
+                        dep_kw = {}
                     jpad = _dep3(
                         pos[0], pos[1], pos[2], ux, uy, uz, ig, w, q=sp.q,
-                        dx=grid.dx, dy=grid.dy, dz=grid.dz, dt=dt, g=g)
+                        dx=grid.dx, dy=grid.dy, dz=grid.dz, dt=dt, g=g,
+                        **dep_kw)
                 elif tile_cfg is not None:
                     win = _dep_tiled(pos[0], pos[1], ux, uy, uz, ig, w,
                                      tile_cfg, q=sp.q, dx=grid.dx,

@@ -27,14 +27,18 @@ def migrate_ref(d, a, plan, recompute_ig=True):
                          sort_fn=sort_cells_pallas)
 
 
-def _random_state(rng, cap, cells, drift=0.0, lead=()):
-    """Global state with per-device leading dims `lead` (= mesh shape)."""
+def _random_state(rng, cap, cells, drift=0.0, lead=(), cell_mask=None):
+    """Global state with per-device leading dims `lead` (= mesh shape).
+    cell_mask: optional per-cell bool (broadcastable to `shape`) limiting
+    where alive slots may exist (sparse-occupancy tests)."""
     shape = lead + (cap,) + cells
     ndim = len(cells)
     nl = len(lead)
     names = ("x", "y", "z")[:ndim]
     data = {}
     alive = rng.random(shape) < 0.6
+    if cell_mask is not None:
+        alive = alive & cell_mask
     for ax, nm in enumerate(names):
         ishape = [1] * (nl + 1 + ndim)
         ishape[nl + 1 + ax] = cells[ax]
@@ -119,6 +123,35 @@ def test_fused_matches_xla_2d_drift():
     for k in ref[0]:
         np.testing.assert_allclose(got[0][k], ref[0][k], rtol=1e-12,
                                    atol=1e-15, err_msg=k)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_fused_skip_empty_sparse_arrivals(periodic):
+    """Block-occupancy skipping with donors entering EMPTY blocks:
+    particles only in x rows {7, 15} of each (16, 128)-cell device with a
+    strong +x drift, so donors cross the (8, 128) migration-block edge
+    into the vacuum second block AND the device edge into the next
+    device's vacuum first block. skip_empty=True must bitwise-match both
+    skip_empty=False and the XLA fast path."""
+    import functools
+    rng = np.random.default_rng(3)
+    row = np.arange(16) % 8 == 7
+    mask = row[None, None, None, :, None]      # (lead.., cap, nx, ny)
+    data, alive = _random_state(rng, 8, (16, 128), drift=0.8,
+                                lead=(2, 2), cell_mask=mask)
+    assert alive.any()
+    args = (data, alive, (2, 2), (16, 128), periodic)
+    ref = _run(migrate_ref, *args)
+    noskip = _run(functools.partial(migrate_cells_fused,
+                                    skip_empty=False), *args)
+    skip = _run(functools.partial(migrate_cells_fused,
+                                  skip_empty=True), *args)
+    for got in (noskip, skip):
+        assert got[2] == ref[2]
+        np.testing.assert_array_equal(got[1], ref[1])
+        for k in ref[0]:
+            np.testing.assert_allclose(got[0][k], ref[0][k], rtol=1e-12,
+                                       atol=1e-15, err_msg=k)
 
 
 @pytest.mark.parametrize("mesh_shape,cells,periodic", [
