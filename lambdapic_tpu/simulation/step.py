@@ -278,6 +278,21 @@ class StepBuilder:
                      and self.switches["interpolation"]
                      and sp.pusher in ("boris", "boris+tbmt"))
 
+            # slab megakernel: the ENTIRE particle stage (re-binning +
+            # gather + Boris + push + deposit) in one pallas kernel over
+            # x-slabs (ops/cellslab.py — the full TPU analog of the
+            # reference unified pusher + sort + sync_particles). Engages
+            # on the plain fused path; QED/split/exact-migration/photon
+            # species and y/z-sharded meshes use the per-stage kernels.
+            plan = tuple((nloc[i], specs[i], ("x", "y", "z")[i])
+                         for i in range(ndim)) if cell_layout else None
+            use_slab = False
+            if cell_layout and fused and self.switches["migration"]:
+                from ..ops.cellslab import slab_supported
+                use_slab = slab_supported(
+                    plan, nloc, sp.tile_cap, self.switches, sp,
+                    self.cell_migration, bool(qed), split)
+
             # position half push (reference stage _push_position_1)
             ig = data["inv_gamma"]
             if not (self.switches["pusher"] and "p1" in stages):
@@ -311,15 +326,27 @@ class StepBuilder:
                 _log.warning("cell engine running with migration "
                              "disabled: physics is invalid (timing "
                              "ablations only)")
+            slab_done = False
             if cell_layout and self.switches["migration"] \
+                    and "p1" in stages and use_slab:
+                data["x"] = pos[0]
+                data["y"] = pos[1]
+                if ndim == 3:
+                    data["z"] = pos[2]
+                from ..ops.cellslab import slab_species_step
+                data, alive, cell_lost, jpad = slab_species_step(
+                    eb_pad, data, alive, plan, q=sp.q, m=sp.m, dt=dt,
+                    deltas=(grid.dx, grid.dy, grid.dz)[:ndim], g=g)
+                pos = tuple(data[c] for c in ("x", "y", "z")[:ndim])
+                ux, uy, uz = data["ux"], data["uy"], data["uz"]
+                ig = data["inv_gamma"]
+                slab_done = True
+            elif cell_layout and self.switches["migration"] \
                     and "p1" in stages:
                 data["x"] = pos[0]
                 data["y"] = pos[1]
                 if ndim == 3:
                     data["z"] = pos[2]
-                coords = ("x", "y", "z")[:ndim]
-                plan = tuple((nloc[i], specs[i], coords[i])
-                             for i in range(ndim))
                 import os as _os
                 want_fused = _os.environ.get(
                     "LAMBDAPIC_MIG_FUSED", "1") != "0"
@@ -343,7 +370,7 @@ class StepBuilder:
                         recompute_ig=(sp.pusher != "photon"),
                         exact=(self.cell_migration == "exact"),
                         sort_fn=sort_fn)
-                pos = tuple(data[c] for c in coords)
+                pos = tuple(data[c] for c in ("x", "y", "z")[:ndim])
                 ig = data["inv_gamma"]
 
             # block-occupancy skipping for the pallas kernels: vacuum
@@ -359,7 +386,9 @@ class StepBuilder:
                     return None
                 return block_occupancy(alive)
 
-            if fused:
+            if slab_done:
+                pass                     # pushed + deposited in-kernel
+            elif fused:
                 from ..ops.cellpallas import (fused_push_cell_2d,
                                               fused_push_cell_3d)
                 want_eb = bool(qed)
@@ -394,7 +423,7 @@ class StepBuilder:
                 pos = tuple(new_pos)
 
             # gather (reference stage _interpolator)
-            if fused:
+            if fused or slab_done:
                 pass
             elif self.switches["interpolation"] and "interp" in stages:
                 if cell_layout and ndim == 2:
@@ -470,9 +499,11 @@ class StepBuilder:
                 data["z"] = pos[2]
 
             # Esirkepov deposition (reference stage current_deposition)
-            w = jnp.where(alive, data["w"], 0.0)
-            if sp.q != 0.0 and self.switches["current_deposition"] \
+            if slab_done:
+                pass                     # jpad produced in-kernel
+            elif sp.q != 0.0 and self.switches["current_deposition"] \
                     and "deposit" in stages:
+                w = jnp.where(alive, data["w"], 0.0)
                 if cell_layout and ndim == 2:
                     if use_pallas_cell:
                         from ..ops.cellpallas import \

@@ -1,0 +1,248 @@
+"""Slab megakernel (ops/cellslab.py) == per-stage pipeline parity.
+
+The unified kernel must reproduce the split path — migrate_cells_fused
++ fused_push_cell + deposit_cell_pallas + fold — slot-for-slot: same
+5-way-key overwrite-merge re-binning, same gather/Boris/Esirkepov
+closed forms. Mirrors the reference criterion that the unified pusher
+equals the split stages (reference unified_pusher_2d.c vs the separate
+interpolation/push/deposit kernels).
+
+Function-level comparisons (not full Simulations): the interpret-mode
+megakernel inside a 2-species full_step makes XLA CPU compilation
+pathologically slow, so each case jits one species stage per side.
+"""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lambdapic_tpu.parallel.halo import HaloSpec
+
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+except ImportError:
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+
+
+Q, M, DT = -1.602e-19, 9.109e-31, 1.1e-16
+DX = 5e-8   # c*dt/dx ~ 0.66
+
+
+def make_inputs(dim, cap, cells, n_frac=0.4, seed=0, spread=0.95):
+    """Random cell-binned state with |delta| up to ``spread`` (covers
+    migration in every direction) and random fields."""
+    rng = np.random.default_rng(seed)
+    shape = (cap,) + cells
+    g = 2
+
+    def mk(lo, hi):
+        return rng.uniform(lo, hi, shape)
+
+    alive = rng.uniform(0, 1, shape) < n_frac
+    pos = []
+    for k in range(dim):
+        idx = np.arange(cells[k]).reshape(
+            [1] * (1 + k) + [cells[k]] + [1] * (dim - 1 - k))
+        pos.append(mk(-spread / 2, spread / 2) + idx)
+    u = [mk(-2, 2) for _ in range(3)]
+    ig = 1 / np.sqrt(1 + sum(a**2 for a in u))
+    data = {c: jnp.asarray(np.where(alive, p, 0.0))
+            for c, p in zip(("x", "y", "z")[:dim], pos)}
+    data.update({f"u{c}": jnp.asarray(np.where(alive, a, 0.0))
+                 for c, a in zip("xyz", u)})
+    data["inv_gamma"] = jnp.asarray(np.where(alive, ig, 1.0))
+    data["w"] = jnp.asarray(np.where(alive, mk(0.5, 1.5), 0.0))
+    data["id_lo"] = jnp.asarray(
+        rng.integers(0, 1 << 24, shape), jnp.uint32)
+    data["id_hi"] = jnp.zeros(shape, jnp.uint32)
+    ebpad = jnp.asarray(rng.uniform(
+        -5e11, 5e11, (6,) + tuple(c + 2 * g for c in cells)))
+    return data, jnp.asarray(alive), ebpad, g
+
+
+def split_ref(eb_pad, data, alive, plan, g, deltas):
+    """The per-stage pipeline exactly as step.py composes it (fused
+    path): migrate_cells_fused -> fused_push(do_pos1=False) -> where(w)
+    -> deposit -> (jpad)."""
+    from lambdapic_tpu.ops.cellpallas import (
+        migrate_cells_fused, fused_push_cell_2d, fused_push_cell_3d,
+        deposit_cell_2d_pallas, deposit_cell_3d_pallas, block_occupancy)
+
+    ndim = len(plan)
+    data, alive, n_lost = migrate_cells_fused(dict(data), alive, plan,
+                                              recompute_ig=True)
+    coords = ("x", "y", "z")[:ndim]
+    pos = [data[c] for c in coords]
+    occ = block_occupancy(alive)
+    if ndim == 2:
+        outs = fused_push_cell_2d(eb_pad, *pos, data["ux"], data["uy"],
+                                  data["uz"], q=Q, m=M, dt=DT,
+                                  dx=deltas[0], dy=deltas[1], g=g,
+                                  do_pos1=False, occ=occ)
+        pos, (ux, uy, uz), ig = outs[:2], outs[2:5], outs[5]
+    else:
+        outs = fused_push_cell_3d(eb_pad, *pos, data["ux"], data["uy"],
+                                  data["uz"], q=Q, m=M, dt=DT,
+                                  dx=deltas[0], dy=deltas[1],
+                                  dz=deltas[2], g=g, do_pos1=False,
+                                  occ=occ)
+        pos, (ux, uy, uz), ig = outs[:3], outs[3:6], outs[6]
+    w = jnp.where(alive, data["w"], 0.0)
+    if ndim == 2:
+        jpad = deposit_cell_2d_pallas(pos[0], pos[1], ux, uy, uz, ig, w,
+                                      q=Q, dx=deltas[0], dy=deltas[1],
+                                      dt=DT, g=g,
+                                      occ=block_occupancy(alive))
+    else:
+        jpad = deposit_cell_3d_pallas(*pos, ux, uy, uz, ig, w, q=Q,
+                                      dx=deltas[0], dy=deltas[1],
+                                      dz=deltas[2], dt=DT, g=g,
+                                      occ=block_occupancy(alive))
+    for c, p in zip(coords, pos):
+        data[c] = p
+    data.update(ux=ux, uy=uy, uz=uz, inv_gamma=ig)
+    return data, alive, n_lost, jpad
+
+
+def slab(eb_pad, data, alive, plan, g, deltas):
+    from lambdapic_tpu.ops.cellslab import slab_species_step
+    return slab_species_step(eb_pad, dict(data), alive, plan, q=Q, m=M,
+                             dt=DT, deltas=deltas, g=g)
+
+
+def _compare(dim, periodic=True, mesh_x=1, cap=4, cells=None, seed=0,
+             n_frac=0.4):
+    cells = cells or ((16, 16) if dim == 2 else (8, 8, 8))
+    deltas = (DX,) * dim
+    names = ("px", "py", "pz")[:dim]
+    mesh = Mesh(np.array(jax.devices()[:mesh_x]).reshape(
+        (mesh_x,) + (1,) * (dim - 1)), names)
+    specs = tuple(HaloSpec(nm, mesh_x if k == 0 else 1, periodic)
+                  for k, nm in enumerate(names))
+    glob = (cells[0] * mesh_x,) + cells[1:]
+    plan = tuple((cells[k], specs[k], ("x", "y", "z")[k])
+                 for k in range(dim))
+    data, alive, ebpad, g = make_inputs(dim, cap, glob, seed=seed,
+                                        n_frac=n_frac)
+    # positions are DEVICE-LOCAL cell units: localize the global x
+    pspec = P(None, "px") if dim == 2 else P(None, "px", None, None)
+
+    def localize(d):
+        d = dict(d)
+        d["x"] = d["x"] - (jax.lax.axis_index("px")
+                           * cells[0]).astype(d["x"].dtype)
+        return d
+
+    jspec = P(None, "px") if dim == 2 else P(None, "px", None, None)
+    results = []
+    for fn in (split_ref, slab):
+        def run(eb, d, al):
+            d2, al2, nl, jpad = fn(eb, localize(d), al, plan, g, deltas)
+            return d2, al2, jnp.reshape(nl, (1,)), jpad
+
+        jf = jax.jit(shard_map(
+            run, mesh,
+            in_specs=(P(), {k: pspec for k in data}, pspec),
+            out_specs=({k: pspec for k in data}, pspec, P("px"),
+                       jspec)))
+        d2, al2, nl, jpad = jf(ebpad, data, alive)
+        results.append((jax.device_get(d2), np.asarray(al2),
+                        int(np.asarray(nl).sum()), np.asarray(jpad)))
+
+    (dr, ar, lr, jr), (ds, as_, ls, js) = results
+    np.testing.assert_array_equal(as_, ar)
+    assert ls == lr
+    for k in dr:
+        if k in ("id_lo", "id_hi"):
+            np.testing.assert_array_equal(
+                np.asarray(ds[k])[as_], np.asarray(dr[k])[ar],
+                err_msg=k)
+        else:
+            a, b = np.asarray(ds[k]), np.asarray(dr[k])
+            np.testing.assert_allclose(a[as_], b[ar], rtol=1e-11,
+                                       atol=1e-300, err_msg=k)
+    # jpad folded along x only on the slab side vs per-block rims on the
+    # split side — compare summed physics
+    scale = np.abs(jr).max() + 1e-30
+    np.testing.assert_allclose(js, jr, atol=1e-12 * scale)
+
+
+def test_slab_2d_periodic():
+    _compare(2)
+
+
+def test_slab_2d_open():
+    _compare(2, periodic=False, seed=1)
+
+
+def test_slab_3d_periodic():
+    _compare(3, seed=2)
+
+
+def test_slab_3d_open():
+    _compare(3, periodic=False, seed=3)
+
+
+def test_slab_2d_merges():
+    # cap 2 + dense occupancy: overwrite-merge slot collisions
+    _compare(2, cap=2, n_frac=0.9, seed=4)
+
+
+def test_slab_2d_multidevice_x():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    _compare(2, mesh_x=2, seed=5)
+
+
+def test_slab_engages_in_simulation():
+    """End-to-end wiring: a tiny cell-engine Simulation with the pallas
+    backend must route through slab_species_step and run."""
+    from lambdapic_tpu import Simulation, Species
+    from lambdapic_tpu.core.species import _ALL_SPECIES
+    from lambdapic_tpu.ops import cellslab
+
+    _ALL_SPECIES.clear()
+    calls = []
+    orig = cellslab.slab_species_step
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    cellslab.slab_species_step = spy
+    try:
+        ele = Species(name="e", charge=-1, mass=1.0)
+        bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
+        sim = Simulation(nx=8, ny=8, dx=1e-6, dy=1e-6, npatch_x=1,
+                         npatch_y=1, boundary_conditions=bc,
+                         precision="double", random_seed=3,
+                         tiling="cell", tiling_backend="pallas")
+        sim.add_species([ele])
+        sim.initialize()
+        rng = np.random.default_rng(11)
+        n = 20
+        coords = {c: rng.uniform(0, 8e-6 * 0.999, n) - 0.49e-6
+                  for c in ("x", "y")}
+        attrs = {"w": np.ones(n) * 1e6, "ux": rng.normal(size=n),
+                 "uy": rng.normal(size=n), "uz": rng.normal(size=n)}
+        attrs["inv_gamma"] = 1 / np.sqrt(
+            1 + attrs["ux"]**2 + attrs["uy"]**2 + attrs["uz"]**2)
+        sim.set_particles_global(0, coords, attrs)
+        sim.run(nsteps=1)
+        assert calls
+        p = sim.get_particles(0)
+        assert np.isfinite(p["x"]).all()
+    finally:
+        cellslab.slab_species_step = orig
+        _ALL_SPECIES.clear()
