@@ -28,9 +28,9 @@ args = types.SimpleNamespace(nx=None, ny=None, ppc=None, tiling="cell",
                              rebin=4, steps=STEPS, warmup=2, chunk=1,
                              capacity_factor=1.6, migration="fast",
                              nspecies=2, nguard=None)
-args.nx = args.nx or 768
+args.nx = args.nx or (512 if CONFIG == "laser-target-3d" else 768)
 args.ny = args.ny or args.nx
-args.ppc = args.ppc or 10
+args.ppc = args.ppc or (2 if CONFIG == "laser-target-3d" else 10)
 sim, cbs = B.build(CONFIG, args)
 sim.recap_interval = 0
 sim.step_chunk = 1
@@ -50,10 +50,11 @@ print(f"wall: {el / STEPS * 1e3:.1f} ms/step ({STEPS} steps)", flush=True)
 # ---- parse the xplane: sum durations per op on the device planes ----
 from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-paths = glob.glob(f"{LOGDIR}/plugins/profile/*/*.xplane.pb")
+paths = sorted(glob.glob(f"{LOGDIR}/plugins/profile/*/*.xplane.pb"))
 assert paths, LOGDIR
+print("xplane:", paths[-1], flush=True)
 xspace = xplane_pb2.XSpace()
-with open(paths[0], "rb") as f:
+with open(paths[-1], "rb") as f:
     xspace.ParseFromString(f.read())
 
 for plane in xspace.planes:

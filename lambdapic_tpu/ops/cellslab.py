@@ -2,49 +2,65 @@
 
 One kernel per species per step runs the ENTIRE particle stage —
 
-    re-binning (x, y, z in sequence)  ->  staggered gather  ->  Boris
-    ->  position half push  ->  5-tap Esirkepov deposit
+    position half push  ->  re-binning (x, y, z in sequence)
+    ->  staggered gather  ->  Boris  ->  position half push
+    ->  5-tap Esirkepov deposit
 
 — in a single VMEM-resident pass. This is the TPU analog of the
 reference's unified pusher (core/pusher/unified/unified_pusher_2d.c:
 157-365: one strip-mined OpenMP pass fusing push+gather+deposit), taken
-one step further by absorbing the particle re-binning (the reference's
-separate sort + sync_particles stages) into the same pass.
+further by absorbing the particle re-binning (the reference's separate
+sort + sync_particles stages, sort/cpu2d.c:9-324 and
+patch/sync_particles_2d.c:36-540) AND the leading position half push
+into the same pass.
 
-Motivation (profiled at bench shapes, docs/BENCH_LOCAL.md): the split
-pipeline — 3 migration kernels + push kernel + deposit kernel — spends
-over half the step in XLA glue between kernels: per-axis key selects,
-edge-strip extraction on tiled dims (reads the full array to produce a
-thin strip), dead-slot sanitize passes, field-window materialization,
-and rim-panel layout copies. The slab kernel touches HBM once per
-payload (read + write) and once for the fields per block.
+Motivation (profiled at bench shapes, docs/BENCH_LOCAL.md): in the v1
+slab kernel the XLA prologue dominated the step — the half-push pass,
+the 5-way-key pass, and above all the per-block x-edge strip arrays
+(at bx=2 the strips are HALF the payload size, and their extraction,
+relayout and kernel re-read cost ~3 GB/step at 128^3 vs ~0.8 GB of
+actual payload I/O). v2 removes the prologue entirely:
+
+- the half push and the 5-way keys are computed in-kernel from the
+  stored positions (inv_gamma rides in as a read-only input; it is
+  NOT a merge payload — Boris recomputes it);
+- neighbor x-columns are read directly from the payload arrays through
+  additional pallas refs with computed index maps (block = one x
+  column; offset = i*bx-1 resp. (i+1)*bx, clamped) — no strip
+  materialization, no transposes, no layout copies;
+- only the per-device EDGE columns (the cross-device / periodic-wrap
+  column pair) are prepared in XLA: one column per side per array,
+  ppermuted when the mesh splits x, alive zeroed at open boundaries.
+  The kernel selects edge-vs-column per block and applies the +-nx
+  coordinate adjust after the push (bitwise-identical to the v1
+  ordering);
+- alive enters and leaves as uint8 (was an int32 key array).
 
 Blocking: grid over X SLABS — block (cap, bx, ny_loc, nz_loc), i.e. the
 y (and z) cell dims stay whole. Consequences:
 - y/z re-binning is fully in-block (wrap columns read from the block
   itself under periodic boundaries); only the x axis needs neighbor
-  strips, and x is an untiled dim whose edge-column extraction is a
-  cheap slab slice (no full-array read);
+  columns, and x is an untiled dim in 3D (arbitrary offsets legal);
 - the Mosaic (8, 128) tiling rules constrain only (ny, nz) — which
   equal the array dims — so bx is a free tuning knob;
-- the mesh may be split along x arbitrarily (strips ppermute at device
-  edges, reusing the per-axis wrap logic); a mesh split along y or z
-  falls back to the per-axis kernels (ops/cellpallas.py) because the
-  in-block wrap would need post-x-migration columns from the y/z
-  neighbor device.
+- the mesh may be split along x arbitrarily (edge columns ppermute at
+  device edges); a mesh split along y or z falls back to the per-axis
+  kernels (ops/cellpallas.py) because the in-block wrap would need
+  post-x-migration columns from the y/z neighbor device.
 
 The E,B field slab (6, bx+4, ny+2g[, nz+2g]) windows overlap between
 blocks, which BlockSpecs cannot express, so the caller pre-stacks the
 per-slab windows into (nbx, 6, bx+4, ny+2g[, nz+2g]) — a cheap
 static-slice stack at the small-bx duplication factor, shared across
-species by XLA CSE. (A manual HBM->VMEM DMA of the padded stack would
-avoid the duplication but Mosaic requires DMA slice shapes to be
-tile-aligned on the sublane dim, which ny+2g generally is not.)
+species by XLA CSE.
 
-Numerical contract: identical to the split pipeline — the same 5-way-
-key overwrite-merge re-binning per axis (ops/cell2d.py::migrate_cells
-fast path), the same gather/Boris/deposit closed forms
-(ops/cellpallas.py kernels). Parity is asserted by
+Numerical contract: identical to the split pipeline — push_position
+(ops/pusher.py:68-84) -> the same 5-way-key overwrite-merge re-binning
+per axis (ops/cell2d.py::migrate_cells fast path) -> the same
+gather/Boris/deposit closed forms (ops/cellpallas.py kernels). The 3D
+deposit recomputes the y/z Esirkepov tap dictionaries lazily inside
+the (oy, oz) offset loops (same expressions, same accumulation order —
+bitwise identical) to cut live VMEM. Parity is asserted by
 tests/core/test_cellslab.py against the split path.
 
 Reference parity anchors: unified pusher unified_pusher_2d.c:157-365,
@@ -77,8 +93,8 @@ def slab_bx(nx_loc: int, ndim: int) -> int:
     """X-slab extent: bx cells per grid step. x is an untiled dim in 3D
     (block dims beyond the last two are unconstrained) so any bx is
     legal; in 2D bx is the sublane dim — multiples of 8 (or the full
-    axis). Default tuned for VMEM: the 3D deposit holds ~90 live
-    block-size tap arrays."""
+    axis). Default tuned for VMEM: the 3D gather+deposit holds ~65
+    live block-size tap arrays (lazy y/z recompute)."""
     if ndim == 3:
         pref = _env_int("LAMBDAPIC_SLAB_BX", 2)
         while nx_loc % pref:
@@ -91,9 +107,10 @@ def slab_bx(nx_loc: int, ndim: int) -> int:
 
 
 def slab_ok(nloc: Tuple[int, ...], cap: int) -> bool:
-    """VMEM feasibility: the deposit phase holds ~90 (3D) / ~45 (2D)
-    live block-size arrays (tap dictionaries + payload rows) plus the
-    field slab and in/out buffers."""
+    """VMEM feasibility: the gather+deposit phase holds ~65 (3D) /
+    ~45 (2D) live block-size arrays (x tap dictionaries + payload rows;
+    y/z taps are recomputed lazily) plus the field slab and the
+    double-buffered in/out refs."""
     ndim = len(nloc)
     bx = slab_bx(nloc[0], ndim)
     trail = 1
@@ -101,8 +118,9 @@ def slab_ok(nloc: Tuple[int, ...], cap: int) -> bool:
         trail *= n + 4
     blk = cap * bx * trail * 4
     slab = 6 * (bx + 4) * trail * 4
-    live = 90 if ndim == 3 else 45
-    return live * blk + 2 * slab <= 56 * 1024 * 1024
+    live = 65 if ndim == 3 else 45
+    refs = 26 * blk                      # in+out payloads, double-buffered
+    return live * blk + refs + 3 * slab <= 100 * 1024 * 1024
 
 
 def slab_enabled() -> bool:
@@ -147,8 +165,8 @@ def _merge_axis(ces, axis, keys, pays, skeys_lo, spays_lo, skeys_hi,
 
     keys: list of cap (1, ...) int32 rows (5-way key, see
     ops/cell2d.py::migrate_cells). pays: list-of-lists [payload][slot].
-    skeys/spays: strip rows, one column wide along ``axis`` (already
-    sorted? no — raw; sorted here alongside).
+    skeys/spays: strip rows, one column wide along ``axis`` (raw;
+    sorted here alongside).
     Returns (alive_rows, pays_out, n_merged)."""
     rk, rv = _sort_rows(ces, keys, pays)
     slk, slv = _sort_rows(ces, skeys_lo, spays_lo)
@@ -240,34 +258,37 @@ def _wrap_cols(rows, axis, coord_adj=None, invalid=False):
 # the megakernel
 # ----------------------------------------------------------------------
 
-def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
-                      strips_lo: List[jnp.ndarray],
-                      strips_hi: List[jnp.ndarray], *,
+def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
+                      edges_lo: List[jnp.ndarray],
+                      edges_hi: List[jnp.ndarray], *,
                       names: Sequence[str], merge_idx: Tuple[int, ...],
                       coords: Sequence[str], periodic: Sequence[bool],
                       q: float, m: float, dt: float,
                       deltas: Sequence[float], g: int,
                       occ=None, sanitize: Sequence[int] = ()):
-    """Run migration(x,y[,z]) + gather + Boris + half push + deposit in
-    one pallas kernel over x-slabs.
+    """Run half-push + migration(x,y[,z]) + gather + Boris + half push
+    + deposit in one pallas kernel over x-slabs.
 
-    eb_pad: (6, nx+2g, ny+2g[, nz+2g]) padded field stack (HBM-resident,
-    DMA'd per block). key: (cap, nx, ny[, nz]) int32 x-axis 5-way key
-    (XLA-computed from the half-pushed positions, exactly as
-    migrate_cells_fused). data[names[p]]: payload arrays. strips_lo/hi:
-    per-[key, *payloads] x-edge columns relayouted to (nbx, cap, ny[, nz])
-    and wrap-fixed (coordinate adjust / invalid-9 / device ppermute done
-    by the caller). periodic: per-IN-BLOCK axis (y[, z]) flags.
+    eb_pad: (6, nx+2g, ny+2g[, nz+2g]) padded field stack. alive8:
+    (cap, nx, ny[, nz]) uint8. ig: inv_gamma array (read-only input for
+    the first half push; Boris recomputes it). data[names[p]]: STORED
+    payload arrays (pre-push positions). edges_lo/hi: per-
+    [alive8, ig, *payloads] single x-columns (cap, 1, ny[, nz]) — the
+    cross-device / periodic-wrap neighbor columns, prepared by the
+    caller (ppermuted when the mesh splits x; alive zeroed at open
+    boundaries; coordinates NOT adjusted — the kernel applies the
+    +-nx adjust after the push, matching the split-path ordering
+    bitwise). periodic: per-IN-BLOCK axis (y[, z]) flags.
     deltas = (dx, dy[, dz]). sanitize: payload indices zeroed for dead
     slots on output (w, coords, momenta).
 
-    Returns (key_out, payloads_out, inv_gamma, rims, n_merged):
-    key_out 2=alive / 3=dead; rims (nbx, 4, bx+4, ny+2g[, nz+2g]) —
-    overlap-add along x only (cellpallas._fold) to get the padded J."""
+    Returns (alive8_out, payloads_out, inv_gamma, rims, n_merged):
+    rims (nbx, 4, bx+4, ny+2g[, nz+2g]) — overlap-add along x only
+    (cellpallas._fold) to get the padded J."""
     from jax.experimental.pallas import tpu as pltpu
 
-    cap = key.shape[0]
-    cells = key.shape[1:]
+    cap = alive8.shape[0]
+    cells = alive8.shape[1:]
     ndim = len(cells)
     nx = cells[0]
     other = cells[1:]
@@ -290,42 +311,109 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
     for d in deltas:
         vol *= d
 
+    n_arr = 2 + n_pay          # alive8, ig, payloads
+
     def kernel(*refs):
         qm_ref, occ_ref, refs = refs[0], refs[1], refs[2:]
         ebw_ref = refs[0]
-        k_ref = refs[1]
-        p_refs = refs[2:2 + n_pay]
-        skl_ref = refs[2 + n_pay]
-        spl_refs = refs[3 + n_pay:3 + 2 * n_pay]
-        skh_ref = refs[3 + 2 * n_pay]
-        sph_refs = refs[4 + 2 * n_pay:4 + 3 * n_pay]
-        out_k = refs[4 + 3 * n_pay]
-        out_p = refs[5 + 3 * n_pay:5 + 4 * n_pay]
-        out_ig = refs[5 + 4 * n_pay]
-        out_rims = refs[6 + 4 * n_pay]
-        out_m = refs[7 + 4 * n_pay]
+        a_ref = refs[1]
+        ig_ref = refs[2]
+        p_refs = refs[3:3 + n_pay]
+        cl_refs = refs[3 + n_pay:3 + n_pay + n_arr]
+        ch_refs = refs[3 + n_pay + n_arr:3 + n_pay + 2 * n_arr]
+        el_refs = refs[3 + n_pay + 2 * n_arr:3 + n_pay + 3 * n_arr]
+        eh_refs = refs[3 + n_pay + 3 * n_arr:3 + n_pay + 4 * n_arr]
+        out_a = refs[3 + n_pay + 4 * n_arr]
+        out_p = refs[4 + n_pay + 4 * n_arr:4 + 2 * n_pay + 4 * n_arr]
+        out_ig = refs[4 + 2 * n_pay + 4 * n_arr]
+        out_rims = refs[5 + 2 * n_pay + 4 * n_arr]
+        out_m = refs[6 + 2 * n_pay + 4 * n_arr]
         i = pl.program_id(0)
         is_first = i == 0
+        is_last = i == nbx - 1
 
         strip_shape = (1, 1) + tuple(other)
+        cdt2 = [jnp.asarray(cc / 2, dtype) for cc in cdt]
+        nx_f = jnp.asarray(nx, dtype)
 
         def main_rows(ref):
             return [ref[a:a + 1] for a in range(cap)]
 
-        def strip_rows(ref):
-            return [ref[0, a:a + 1].reshape(strip_shape)
-                    for a in range(cap)]
+        def push_rows(al, igr, pay):
+            """First position half push (push_position_*, in place on
+            the coord entries of ``pay``)."""
+            for a in range(cap):
+                for k in range(ndim):
+                    pay[ci[k]][a] = (pay[ci[k]][a]
+                                     + pay[ui[k]][a] * igr[a] * cdt2[k])
+            return pay
+
+        def strip_side(col_refs, edge_refs, sel_edge, cell_idx, adj):
+            """Selected + pushed + coord-adjusted strip rows for one x
+            side; returns (key_rows, payload_row_lists)."""
+            al, igr, pays = [], [], [[] for _ in range(n_pay)]
+            for a in range(cap):
+                al.append(jnp.where(
+                    sel_edge, edge_refs[0][a:a + 1, 0:1],
+                    col_refs[0][a:a + 1, 0:1]).reshape(
+                        strip_shape).astype(jnp.int32) != 0)
+                igr.append(jnp.where(
+                    sel_edge, edge_refs[1][a:a + 1, 0:1],
+                    col_refs[1][a:a + 1, 0:1]).reshape(strip_shape))
+                for p in range(n_pay):
+                    pays[p].append(jnp.where(
+                        sel_edge, edge_refs[2 + p][a:a + 1, 0:1],
+                        col_refs[2 + p][a:a + 1, 0:1]).reshape(
+                            strip_shape))
+            pays = push_rows(al, igr, pays)
+            keys = []
+            adj_v = jnp.where(sel_edge, jnp.asarray(adj, dtype) * nx_f,
+                              jnp.asarray(0, dtype))
+            for a in range(cap):
+                pays[ci[0]][a] = pays[ci[0]][a] + adj_v
+                local = pays[ci[0]][a] - jnp.asarray(cell_idx, dtype)
+                out_hi = al[a] & (local >= 0.5)
+                out_lo = al[a] & (local < -0.5)
+                dead = 1 if (a % 2 == 0) else 3
+                keys.append(jnp.where(
+                    out_hi, 0, jnp.where(out_lo, 4,
+                                         jnp.where(al[a], 2, dead))
+                ).astype(jnp.int32))
+            return keys, pays
 
         def compute():
-            # ---------------- x pass (strips from neighbors) ----------
+            # ------------- read + half push + x keys -------------------
+            alive_rows = [a_ref[a:a + 1].astype(jnp.int32) != 0
+                          for a in range(cap)]
+            ig_rows = main_rows(ig_ref)
+            pays = [main_rows(r) for r in p_refs]
+            pays = push_rows(alive_rows, ig_rows, pays)
+            keys = []
+            for a in range(cap):
+                pr = pays[ci[0]][a]
+                iota_x = (lax.broadcasted_iota(jnp.int32, pr.shape, 1)
+                          + i * bx).astype(dtype)
+                local = pr - iota_x
+                out_hi = alive_rows[a] & (local >= 0.5)
+                out_lo = alive_rows[a] & (local < -0.5)
+                dead = 1 if (a % 2 == 0) else 3
+                keys.append(jnp.where(
+                    out_hi, 0, jnp.where(out_lo, 4,
+                                         jnp.where(alive_rows[a], 2,
+                                                   dead))
+                ).astype(jnp.int32))
+
+            # ------------- x pass (columns from neighbors) -------------
+            skl, spl = strip_side(cl_refs, el_refs, is_first,
+                                  i * bx - 1, -1)
+            skh, sph = strip_side(ch_refs, eh_refs, is_last,
+                                  (i + 1) * bx, +1)
             n_merged = jnp.zeros((), jnp.int32)
             alive_rows, pays, n_merged = _merge_axis(
-                ces, 1, main_rows(k_ref), [main_rows(r) for r in p_refs],
-                strip_rows(skl_ref), [strip_rows(r) for r in spl_refs],
-                strip_rows(skh_ref), [strip_rows(r) for r in sph_refs],
+                ces, 1, keys, pays, skl, spl, skh, sph,
                 merge_idx, n_merged)
 
-            # ---------------- y (and z) passes (in-block wrap) --------
+            # ------------- y (and z) passes (in-block wrap) ------------
             for ax in range(1, ndim):
                 axis = 1 + ax
                 pos_rows = pays[ci[ax]]
@@ -342,7 +430,7 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
                     ces, axis, keys, pays, klo, plo, khi, phi,
                     merge_idx, n_merged)
 
-            # ---------------- sanitize + assemble blocks --------------
+            # ------------- sanitize + assemble blocks ------------------
             alive = jnp.concatenate(alive_rows, axis=0)
             blocks = []
             for p in range(n_pay):
@@ -365,7 +453,7 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
                  for k in range(ndim - 1)]
             dl = [pos[k] - iota[k] for k in range(ndim)]
 
-            # ---------------- gather + Boris + half push --------------
+            # ------------- gather + Boris + half push ------------------
             taps = [{"g": {o: _m2(o - d) for o in _GOFF},
                      "h": {o: _m2(o + 0.5 - d) for o in _HOFF}}
                     for d in dl]
@@ -398,15 +486,10 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
             posn = [pos[k] + (0.5 * cdt[k]) * u4[k] * ig2
                     for k in range(ndim)]
 
-            # ---------------- Esirkepov deposit -----------------------
+            # ------------- Esirkepov deposit ----------------------------
             out_rims[...] = jnp.zeros(out_rims.shape, dtype)
             v = [u4[k] * ig2 * cdt[k] for k in range(ndim)]
             dln = [posn[k] - iota[k] for k in range(ndim)]
-
-            def tapdicts(d, vk):
-                s0 = {o: _m2(o - (d - 0.5 * vk)) for o in _DOFF}
-                s1 = {o: _m2(o - (d + 0.5 * vk)) for o in _DOFF}
-                return s0, s1
 
             if ndim == 2:
                 f_cd = jnp.asarray(q / vol, dtype) * w
@@ -414,8 +497,10 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
                 f_dy = jnp.asarray(q / (deltas[0] * dt), dtype) * w
                 vz_c = uz4 * ig2 * jnp.asarray(c_light, dtype)
                 cvz = f_cd * vz_c
-                s0x, s1x = tapdicts(dln[0], v[0])
-                s0y, s1y = tapdicts(dln[1], v[1])
+                s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in _DOFF}
+                s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
+                s0y = {o: _m2(o - (dln[1] - 0.5 * v[1])) for o in _DOFF}
+                s1y = {o: _m2(o - (dln[1] + 0.5 * v[1])) for o in _DOFF}
                 fx_run = {}
                 acc = jnp.zeros(shp, dtype)
                 for o in _DOFF:
@@ -448,32 +533,48 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
                 fd = [jnp.asarray(q / (vol / deltas[k]) / dt, dtype) * w
                       for k in range(3)]
 
-                def taps3(d, vk):
-                    s0, s1 = tapdicts(d, vk)
-                    ds = {o: s1[o] - s0[o] for o in _DOFF}
-                    a_ = {o: s0[o] + 0.5 * ds[o] for o in _DOFF}
-                    cc = {o: 0.5 * s0[o] + ds[o] * (1.0 / 3.0)
-                          for o in _DOFF}
-                    run = {}
-                    acc = jnp.zeros(shp, dtype)
-                    for o in _DOFF:
-                        acc = acc + ds[o]
-                        run[o] = acc
-                    return s0, s1, ds, a_, cc, run
+                # x taps persist across the offset loops; y/z taps are
+                # recomputed lazily per (oy, oz) — same expressions and
+                # accumulation order as the persistent form (bitwise
+                # identical), ~25 fewer live block arrays.
+                s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in _DOFF}
+                s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
+                dsx = {o: s1x[o] - s0x[o] for o in _DOFF}
+                ax_ = {o: s0x[o] + 0.5 * dsx[o] for o in _DOFF}
+                cx_ = {o: 0.5 * s0x[o] + dsx[o] * (1.0 / 3.0)
+                       for o in _DOFF}
+                runx = {}
+                acc = jnp.zeros(shp, dtype)
+                for o in _DOFF:
+                    acc = acc + dsx[o]
+                    runx[o] = acc
+                del s0x, dsx, acc
 
-                s0x, s1x, dsx, ax_, cx_, runx = taps3(dln[0], v[0])
-                s0y, s1y, dsy, ay_, cy_, runy = taps3(dln[1], v[1])
-                s0z, s1z, dsz, az_, cz_, runz = taps3(dln[2], v[2])
+                dy_, vy_ = dln[1], v[1]
+                dz_, vz_ = dln[2], v[2]
                 ny, nz = other
+                acc_y = jnp.zeros(shp, dtype)
                 for oy in _DOFF:
+                    s0y = _m2(oy - (dy_ - 0.5 * vy_))
+                    s1y = _m2(oy - (dy_ + 0.5 * vy_))
+                    dsy = s1y - s0y
+                    ay_ = s0y + 0.5 * dsy
+                    cy_ = 0.5 * s0y + dsy * (1.0 / 3.0)
+                    acc_y = acc_y + dsy
+                    runy = acc_y
+                    acc_z = jnp.zeros(shp, dtype)
                     for oz in _DOFF:
-                        pyz_jx = -(ay_[oy] * s0z[oz]
-                                   + cy_[oy] * dsz[oz]) * fd[0]
-                        pyz_jy = -(runy[oy] * s0z[oz]) * fd[1]
-                        pyz_jy2 = -(runy[oy] * dsz[oz]) * fd[1]
-                        pyz_jz = -(runz[oz] * s0y[oy]) * fd[2]
-                        pyz_jz2 = -(runz[oz] * dsy[oy]) * fd[2]
-                        pyz_r = (s1y[oy] * s1z[oz]) * f_cd
+                        s0z = _m2(oz - (dz_ - 0.5 * vz_))
+                        s1z = _m2(oz - (dz_ + 0.5 * vz_))
+                        dsz = s1z - s0z
+                        acc_z = acc_z + dsz
+                        runz = acc_z
+                        pyz_jx = -(ay_ * s0z + cy_ * dsz) * fd[0]
+                        pyz_jy = -(runy * s0z) * fd[1]
+                        pyz_jy2 = -(runy * dsz) * fd[1]
+                        pyz_jz = -(runz * s0y) * fd[2]
+                        pyz_jz2 = -(runz * dsy) * fd[2]
+                        pyz_r = (s1y * s1z) * f_cd
                         for ox in _DOFF:
                             jx_c = (runx[ox] * pyz_jx).sum(0)
                             jy_c = (ax_[ox] * pyz_jy
@@ -489,8 +590,8 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
                                      g + oy:g + oy + ny,
                                      g + oz:g + oz + nz] = cur + cell
 
-            # ---------------- outputs ---------------------------------
-            out_k[...] = jnp.where(alive, 2, 3).astype(jnp.int32)
+            # ------------- outputs --------------------------------------
+            out_a[...] = alive.astype(jnp.uint8)
             for p in range(n_pay):
                 if p == ci[0]:
                     val = posn[0]
@@ -516,7 +617,7 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
 
         @pl.when(jnp.logical_not(on))
         def _():
-            out_k[...] = jnp.full(out_k.shape, 3, jnp.int32)
+            out_a[...] = jnp.zeros(out_a.shape, jnp.uint8)
             for p in range(n_pay):
                 out_p[p][...] = jnp.zeros(out_p[p].shape,
                                           out_p[p].dtype)
@@ -529,10 +630,18 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
     # index maps take *a so the occ path's trailing scalar-prefetch ref
     # argument is absorbed (PrefetchScalarGridSpec appends it)
     mspec = pl.BlockSpec(blk, lambda *a: (0, a[0]) + zeros)
-    sspec = pl.BlockSpec((1, cap) + tuple(other),
-                         lambda *a: (a[0], 0) + zeros)
+    colblk = (cap, 1) + tuple(other)
+    # neighbor x-columns read straight from the payload arrays: block =
+    # one column, offset computed from the grid index (clamped; the
+    # kernel selects the edge refs instead at i==0 / i==nbx-1)
+    cspec_lo = pl.BlockSpec(
+        colblk, lambda *a: (0, jnp.maximum(a[0] * bx - 1, 0)) + zeros)
+    cspec_hi = pl.BlockSpec(
+        colblk, lambda *a: (0, jnp.minimum((a[0] + 1) * bx, nx - 1))
+        + zeros)
+    espec = pl.BlockSpec(colblk, lambda *a: (0, 0) + zeros)
     # per-slab field windows, pre-stacked (overlapping windows are not
-    # expressible as a BlockSpec; DMA slices must be sublane-aligned)
+    # expressible as a BlockSpec)
     ebwin = jnp.stack([lax.slice_in_dim(eb_pad, i * bx, i * bx + bx + 4,
                                         axis=1)
                        for i in range(nbx)])
@@ -542,19 +651,23 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
     rspec = pl.BlockSpec((1, 4, bx + 4) + opad,
                          lambda *a: (a[0], 0, 0) + zeros)
     cnt_spec = pl.BlockSpec((8, 128), lambda *a: (0, 0))
-    in_specs = ([ebspec, mspec] + [mspec] * n_pay
-                + [sspec] * (1 + n_pay) + [sspec] * (1 + n_pay))
+
+    arrs = [alive8, ig] + [data[nm] for nm in names]
+    in_specs = ([ebspec, mspec, mspec] + [mspec] * n_pay
+                + [cspec_lo] * n_arr + [cspec_hi] * n_arr
+                + [espec] * n_arr + [espec] * n_arr)
     out_specs = ([mspec] + [mspec] * n_pay + [mspec, rspec, cnt_spec])
-    out_shape = ([jax.ShapeDtypeStruct(key.shape, jnp.int32)]
+    out_shape = ([jax.ShapeDtypeStruct(alive8.shape, jnp.uint8)]
                  + [jax.ShapeDtypeStruct(data[nm].shape, data[nm].dtype)
                     for nm in names]
-                 + [jax.ShapeDtypeStruct(key.shape, dtype),
+                 + [jax.ShapeDtypeStruct(alive8.shape, dtype),
                     jax.ShapeDtypeStruct(rims_shape, dtype),
                     jax.ShapeDtypeStruct((8, 128), jnp.int32)])
 
     kw = _compile_kwargs()
     if not _use_interpret():
-        kw = {"compiler_params": pltpu.CompilerParams(
+        from jax.experimental.pallas import tpu as pltpu2
+        kw = {"compiler_params": pltpu2.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024)}
     if occ is None:
         occ = jnp.ones((nbx,), jnp.int32)
@@ -565,15 +678,16 @@ def unified_cell_step(eb_pad, key, data: Dict[str, jnp.ndarray],
         in_specs=in_specs, out_specs=out_specs))
 
     outs = pl.pallas_call(kernel, out_shape=out_shape, **call_kw,
-                          **kw)(qm, occ, ebwin, key,
+                          **kw)(qm, occ, ebwin, alive8, ig,
                                 *[data[nm] for nm in names],
-                                *strips_lo, *strips_hi)
-    key_out = outs[0]
+                                *arrs, *arrs,        # lo / hi columns
+                                *edges_lo, *edges_hi)
+    alive_out = outs[0]
     pays_out = list(outs[1:1 + n_pay])
     ig_out = outs[1 + n_pay]
     rims = outs[2 + n_pay]
     n_merged = outs[3 + n_pay][0, 0]
-    return key_out, pays_out, ig_out, rims, n_merged
+    return alive_out, pays_out, ig_out, rims, n_merged
 
 
 # ----------------------------------------------------------------------
@@ -586,14 +700,15 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                       skip_empty: bool | None = None):
     """The fused-path species stage on the slab megakernel. ``plan`` =
     ((nloc, HaloSpec, coord), ...) per cell axis, exactly as
-    migrate_cells (the caller has ALREADY applied the position half
-    push, i.e. data holds mid-step positions). Mesh axes 2.. must have
-    size 1 (checked by the caller via slab_supported).
+    migrate_cells. ``data`` holds the STORED state (pre-push positions
+    and inv_gamma) — the kernel applies the first position half push
+    itself. Mesh axes 2.. must have size 1 (checked by the caller via
+    slab_supported).
 
     Returns (data, alive, n_lost, jpad): data holds the fully pushed
     state (positions/momenta/inv_gamma post-Boris), jpad the padded
     Esirkepov currents (4, nx+2g, ...)."""
-    from .cellpallas import _axis_strips, _fold, _mig_perms
+    from .cellpallas import _fold
 
     if skip_empty is None:
         skip_empty = occ_skip_enabled()
@@ -614,72 +729,61 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                      for k in ("x", "y", "z", "w", "ux", "uy", "uz")
                      if k in names)
 
-    # x-axis 5-way key from the mid-step positions (identical to
-    # migrate_cells_fused axis 0)
     nloc0, spec0, coord0 = plan[0]
-    pos = data[coord0]
-    ishape = [1] * (1 + ndim)
-    ishape[1] = nx
-    idx = jnp.arange(nx, dtype=pos.dtype).reshape(ishape)
-    local = pos - idx
-    parity = ((jnp.arange(cap, dtype=jnp.int32) & 1) == 0).reshape(
-        (cap,) + (1,) * ndim)
-    out_hi = alive & (local >= 0.5)
-    out_lo = alive & (local < -0.5)
-    key = jnp.where(out_hi, 0,
-                    jnp.where(out_lo, 4,
-                              jnp.where(alive, 2,
-                                        jnp.where(parity, 1, 3)))
-                    ).astype(jnp.int32)
+    alive8 = alive.astype(jnp.uint8)
+    ig = data["inv_gamma"]
+    arrs = [alive8, ig] + [data[k] for k in names]
 
-    payloads = [data[k] for k in names]
-    ci0 = names.index(coord0)
-    strips_l, strips_h = [], []
-    for p_i, arr in enumerate([key] + payloads):
-        sl, sh = _axis_strips(arr, 0, bx)
-        is_coord = (p_i == 1 + ci0)
-        is_key = (p_i == 0)
-
-        def fix_wrap(strip, entry_idx, adj):
-            col = lax.index_in_dim(strip, entry_idx, axis=1,
-                                   keepdims=True)
+    # device-edge columns: the periodic-wrap / cross-device x-neighbor
+    # column pair (one column per side per array). ppermute when the
+    # mesh splits x (reference mpi/sync_particles_2d.c count+payload
+    # exchange); alive zeroed at open global edges. Coordinates are NOT
+    # adjusted here — the kernel adds +-nx after the half push.
+    edges_lo, edges_hi = [], []
+    up = dn = None
+    if spec0.size > 1:
+        up, dn = _mig_perms(spec0.size)
+        i_dev = lax.axis_index(spec0.axis_name)
+    for a_i, arr in enumerate(arrs):
+        lo = lax.slice_in_dim(arr, nx - 1, nx, axis=1)
+        hi = lax.slice_in_dim(arr, 0, 1, axis=1)
+        if spec0.size > 1:
+            lo = lax.ppermute(lo, spec0.axis_name, up)
+            hi = lax.ppermute(hi, spec0.axis_name, dn)
+        if a_i == 0 and not spec0.periodic:
             if spec0.size > 1:
-                up, dn = _mig_perms(spec0.size)
-                col = lax.ppermute(col, spec0.axis_name,
-                                   up if adj < 0 else dn)
-            if is_coord:
-                col = col + jnp.asarray(adj * nloc0, col.dtype)
-            if is_key and not spec0.periodic:
-                i_dev = lax.axis_index(spec0.axis_name)
-                edge = (i_dev == 0) if adj < 0 else \
-                    (i_dev == spec0.size - 1)
-                col = jnp.where(edge, jnp.full_like(col, 9), col)
-            return lax.dynamic_update_index_in_dim(
-                strip, col[:, 0], entry_idx, axis=1)
-
-        sl = fix_wrap(sl, 0, -1)
-        sh = fix_wrap(sh, nbx - 1, +1)
-        # slab strip layout: (nbx, cap, *other) — trailing dims equal
-        # the array dims, so no Mosaic pad is needed
-        strips_l.append(jnp.moveaxis(sl, 1, 0))
-        strips_h.append(jnp.moveaxis(sh, 1, 0))
+                lo = jnp.where(i_dev == 0, jnp.zeros_like(lo), lo)
+                hi = jnp.where(i_dev == spec0.size - 1,
+                               jnp.zeros_like(hi), hi)
+            else:
+                lo = jnp.zeros_like(lo)
+                hi = jnp.zeros_like(hi)
+        edges_lo.append(lo)
+        edges_hi.append(hi)
 
     occ = None
     if skip_empty:
-        res = alive.any(tuple(range(1 + 1, 1 + ndim))).any(0)  # (nx,)
-        res = res.reshape(nbx, bx).any(1)
-        arr_lo = (strips_l[0] == 0).any(tuple(range(1, 1 + ndim)))
-        arr_hi = (strips_h[0] == 4).any(tuple(range(1, 1 + ndim)))
-        occ = (res | arr_lo | arr_hi).astype(jnp.int32)
+        # conservative block occupancy: any alive slot in the slab, or
+        # any alive particle in the single x-columns adjacent to it
+        # (a particle can only enter from those post-half-push)
+        acols = (alive8 != 0).any(
+            axis=(0,) + tuple(range(2, 1 + ndim)))          # (nx,)
+        blk_any = acols.reshape(nbx, bx).any(1)
+        red_ax = (0,) + tuple(range(1, 1 + ndim))
+        lo_any = (edges_lo[0] != 0).any(red_ax)             # scalar
+        hi_any = (edges_hi[0] != 0).any(red_ax)
+        ext = jnp.concatenate([lo_any.reshape(1), acols,
+                               hi_any.reshape(1)])
+        occ = (blk_any | ext[0:nx:bx] | ext[bx + 1::bx]).astype(jnp.int32)
 
-    key_out, pays_out, ig_out, rims, n_lost = unified_cell_step(
-        eb_pad, key, data, strips_l, strips_h, names=names,
+    alive_out, pays_out, ig_out, rims, n_lost = unified_cell_step(
+        eb_pad, alive8, ig, data, edges_lo, edges_hi, names=names,
         merge_idx=merge_idx, coords=coords, periodic=periodic,
         q=q, m=m, dt=dt, deltas=deltas, g=g, occ=occ, sanitize=sanitize)
 
     data = {**data, **dict(zip(names, pays_out))}
     data["inv_gamma"] = ig_out
-    alive = key_out == 2
+    alive = alive_out != 0
     jpad = _fold(rims, nx, g, bx)
     return data, alive, n_lost, jpad
 

@@ -293,9 +293,12 @@ class StepBuilder:
                     plan, nloc, sp.tile_cap, self.switches, sp,
                     self.cell_migration, bool(qed), split)
 
-            # position half push (reference stage _push_position_1)
+            # position half push (reference stage _push_position_1).
+            # The slab megakernel applies it in-kernel (v2) — skip the
+            # XLA pass entirely on that path.
             ig = data["inv_gamma"]
-            if not (self.switches["pusher"] and "p1" in stages):
+            if use_slab or not (self.switches["pusher"]
+                                and "p1" in stages):
                 pos = (data["x"], data["y"]) if ndim == 2 else (
                     data["x"], data["y"], data["z"])
             elif ndim == 2:
@@ -329,10 +332,8 @@ class StepBuilder:
             slab_done = False
             if cell_layout and self.switches["migration"] \
                     and "p1" in stages and use_slab:
-                data["x"] = pos[0]
-                data["y"] = pos[1]
-                if ndim == 3:
-                    data["z"] = pos[2]
+                # stored (pre-push) positions + inv_gamma go straight
+                # into the kernel; it applies the first half push
                 from ..ops.cellslab import slab_species_step
                 data, alive, cell_lost, jpad = slab_species_step(
                     eb_pad, data, alive, plan, q=sp.q, m=sp.m, dt=dt,

@@ -73,14 +73,27 @@ def make_inputs(dim, cap, cells, n_frac=0.4, seed=0, spread=0.95):
 
 def split_ref(eb_pad, data, alive, plan, g, deltas):
     """The per-stage pipeline exactly as step.py composes it (fused
-    path): migrate_cells_fused -> fused_push(do_pos1=False) -> where(w)
-    -> deposit -> (jpad)."""
+    path): push_position (XLA) -> migrate_cells_fused ->
+    fused_push(do_pos1=False) -> where(w) -> deposit -> (jpad)."""
+    from lambdapic_tpu.constants import c as c_light
+    from lambdapic_tpu.ops.pusher import (push_position_2d,
+                                          push_position_3d)
     from lambdapic_tpu.ops.cellpallas import (
         migrate_cells_fused, fused_push_cell_2d, fused_push_cell_3d,
         deposit_cell_2d_pallas, deposit_cell_3d_pallas, block_occupancy)
 
     ndim = len(plan)
-    data, alive, n_lost = migrate_cells_fused(dict(data), alive, plan,
+    data = dict(data)
+    cdt2 = [c_light * DT / d / 2 for d in deltas]
+    ig0 = data["inv_gamma"]
+    if ndim == 2:
+        data["x"], data["y"] = push_position_2d(
+            data["x"], data["y"], data["ux"], data["uy"], ig0, *cdt2)
+    else:
+        data["x"], data["y"], data["z"] = push_position_3d(
+            data["x"], data["y"], data["z"], data["ux"], data["uy"],
+            data["uz"], ig0, *cdt2)
+    data, alive, n_lost = migrate_cells_fused(data, alive, plan,
                                               recompute_ig=True)
     coords = ("x", "y", "z")[:ndim]
     pos = [data[c] for c in coords]
