@@ -128,6 +128,16 @@ def slab_enabled() -> bool:
     return os.environ.get("LAMBDAPIC_SLAB", "1") != "0"
 
 
+def _ablate() -> frozenset:
+    """Timing-ablation knob (LAMBDAPIC_SLAB_ABLATE, comma-separated
+    tokens ``merge``, ``gather``, ``deposit``): skips the named kernel
+    phase to attribute in-kernel time. PHYSICS IS INVALID with any
+    token set — profiling use only (docs/BENCH_LOCAL.md)."""
+    import os
+    v = os.environ.get("LAMBDAPIC_SLAB_ABLATE", "")
+    return frozenset(t for t in v.split(",") if t)
+
+
 # ----------------------------------------------------------------------
 # value-level building blocks (operate on lists of per-slot row values)
 # ----------------------------------------------------------------------
@@ -404,31 +414,33 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 ).astype(jnp.int32))
 
             # ------------- x pass (columns from neighbors) -------------
-            skl, spl = strip_side(cl_refs, el_refs, is_first,
-                                  i * bx - 1, -1)
-            skh, sph = strip_side(ch_refs, eh_refs, is_last,
-                                  (i + 1) * bx, +1)
             n_merged = jnp.zeros((), jnp.int32)
-            alive_rows, pays, n_merged = _merge_axis(
-                ces, 1, keys, pays, skl, spl, skh, sph,
-                merge_idx, n_merged)
-
-            # ------------- y (and z) passes (in-block wrap) ------------
-            for ax in range(1, ndim):
-                axis = 1 + ax
-                pos_rows = pays[ci[ax]]
-                keys = _keys_from_pos(pos_rows, alive_rows, axis)
-                klo, khi = _wrap_cols(keys, axis,
-                                      invalid=not periodic[ax - 1])
-                plo, phi = [], []
-                for p in range(n_pay):
-                    adj = other[ax - 1] if p == ci[ax] else None
-                    lo, hi = _wrap_cols(pays[p], axis, coord_adj=adj)
-                    plo.append(lo)
-                    phi.append(hi)
+            abl = _ablate()
+            if "merge" not in abl:
+                skl, spl = strip_side(cl_refs, el_refs, is_first,
+                                      i * bx - 1, -1)
+                skh, sph = strip_side(ch_refs, eh_refs, is_last,
+                                      (i + 1) * bx, +1)
                 alive_rows, pays, n_merged = _merge_axis(
-                    ces, axis, keys, pays, klo, plo, khi, phi,
+                    ces, 1, keys, pays, skl, spl, skh, sph,
                     merge_idx, n_merged)
+
+                # ---------- y (and z) passes (in-block wrap) ------------
+                for ax in range(1, ndim):
+                    axis = 1 + ax
+                    pos_rows = pays[ci[ax]]
+                    keys = _keys_from_pos(pos_rows, alive_rows, axis)
+                    klo, khi = _wrap_cols(keys, axis,
+                                          invalid=not periodic[ax - 1])
+                    plo, phi = [], []
+                    for p in range(n_pay):
+                        adj = other[ax - 1] if p == ci[ax] else None
+                        lo, hi = _wrap_cols(pays[p], axis, coord_adj=adj)
+                        plo.append(lo)
+                        phi.append(hi)
+                    alive_rows, pays, n_merged = _merge_axis(
+                        ces, axis, keys, pays, klo, plo, khi, phi,
+                        merge_idx, n_merged)
 
             # ------------- sanitize + assemble blocks ------------------
             alive = jnp.concatenate(alive_rows, axis=0)
@@ -454,30 +466,34 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             dl = [pos[k] - iota[k] for k in range(ndim)]
 
             # ------------- gather + Boris + half push ------------------
-            taps = [{"g": {o: _m2(o - d) for o in _GOFF},
-                     "h": {o: _m2(o + 0.5 - d) for o in _HOFF}}
-                    for d in dl]
-            comps = _COMPS2 if ndim == 2 else _COMPS3
-            eb = []
-            for comp, *stag in comps:
-                acc = jnp.zeros(shp, dtype)
-                if ndim == 2:
-                    for oy, ty in taps[1][stag[1]].items():
-                        for ox, tx in taps[0][stag[0]].items():
-                            f = ebw_ref[0, comp, g + ox:g + ox + bx,
-                                        g + oy:g + oy + other[0]]
-                            acc = acc + tx * ty * f[None]
-                else:
-                    for oy, ty in taps[1][stag[1]].items():
-                        for oz, tz in taps[2][stag[2]].items():
-                            tyz = ty * tz
+            if "gather" in abl:
+                eb = [jnp.zeros(shp, dtype) for _ in range(6)]
+            else:
+                taps = [{"g": {o: _m2(o - d) for o in _GOFF},
+                         "h": {o: _m2(o + 0.5 - d) for o in _HOFF}}
+                        for d in dl]
+                comps = _COMPS2 if ndim == 2 else _COMPS3
+                eb = []
+                for comp, *stag in comps:
+                    acc = jnp.zeros(shp, dtype)
+                    if ndim == 2:
+                        for oy, ty in taps[1][stag[1]].items():
                             for ox, tx in taps[0][stag[0]].items():
                                 f = ebw_ref[0, comp, g + ox:g + ox + bx,
-                                            g + oy:g + oy + other[0],
-                                            g + oz:g + oz + other[1]]
-                                acc = acc + tx * tyz * f[None]
-                eb.append(acc)
-            del taps
+                                            g + oy:g + oy + other[0]]
+                                acc = acc + tx * ty * f[None]
+                    else:
+                        for oy, ty in taps[1][stag[1]].items():
+                            for oz, tz in taps[2][stag[2]].items():
+                                tyz = ty * tz
+                                for ox, tx in taps[0][stag[0]].items():
+                                    f = ebw_ref[0, comp,
+                                                g + ox:g + ox + bx,
+                                                g + oy:g + oy + other[0],
+                                                g + oz:g + oz + other[1]]
+                                    acc = acc + tx * tyz * f[None]
+                    eb.append(acc)
+                del taps
 
             ux4, uy4, uz4, ig2 = _boris(ux0, uy0, uz0, *eb, q, m, dt,
                                         dtype)
@@ -491,7 +507,9 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             v = [u4[k] * ig2 * cdt[k] for k in range(ndim)]
             dln = [posn[k] - iota[k] for k in range(ndim)]
 
-            if ndim == 2:
+            if "deposit" in abl:
+                pass
+            elif ndim == 2:
                 f_cd = jnp.asarray(q / vol, dtype) * w
                 f_dx = jnp.asarray(q / (deltas[1] * dt), dtype) * w
                 f_dy = jnp.asarray(q / (deltas[0] * dt), dtype) * w
