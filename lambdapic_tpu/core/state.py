@@ -96,11 +96,18 @@ class SimulationState:
 # constructors
 # ---------------------------------------------------------------------------
 
-def zeros_fields(grid: Grid, dtype=jnp.float32, with_pml: bool = True) -> FieldsState:
+def zeros_fields(grid: Grid, dtype=jnp.float32, with_pml: bool = True,
+                 cpml=None) -> FieldsState:
+    """``cpml``: optional CPMLCoeffs. When given and cpml_slab_enabled(),
+    psi arrays are slab-restricted along their PML axis (rows where c != 0
+    only — they are exactly zero elsewhere); the Maxwell update detects
+    the shape and runs the matching path (ops/maxwell.py)."""
     shape = grid.shape
     z = lambda: jnp.zeros(shape, dtype=dtype)
     psi = {}
     if with_pml:
+        from ..ops.cpml import cpml_slab_enabled
+        slab = cpml is not None and cpml_slab_enabled()
         bc = grid.bc
         axes = "xy" + ("z" if grid.dimension == 3 else "")
         # One psi pair per transverse E/B component per PML axis
@@ -110,10 +117,14 @@ def zeros_fields(grid: Grid, dtype=jnp.float32, with_pml: bool = True) -> Fields
             "y": ("ex", "ez", "bx", "bz"),
             "z": ("ex", "ey", "bx", "by"),
         }
-        for ax in axes:
+        for axis, ax in enumerate(axes):
             if bc.get(ax + "min") == "pml" or bc.get(ax + "max") == "pml":
+                pshape = shape
+                if slab:
+                    w = cpml.psi_width(ax)
+                    pshape = shape[:axis] + (w,) + shape[axis + 1:]
                 for comp in comps[ax]:
-                    psi[f"psi_{comp}_{ax}"] = jnp.zeros(shape, dtype=dtype)
+                    psi[f"psi_{comp}_{ax}"] = jnp.zeros(pshape, dtype=dtype)
     return FieldsState(
         ex=z(), ey=z(), ez=z(), bx=z(), by=z(), bz=z(),
         jx=z(), jy=z(), jz=z(), rho=z(), psi=psi,

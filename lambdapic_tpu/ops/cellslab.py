@@ -120,7 +120,8 @@ def slab_ok(nloc: Tuple[int, ...], cap: int) -> bool:
     slab = 6 * (bx + 4) * trail * 4
     live = 65 if ndim == 3 else 45
     refs = 26 * blk                      # in+out payloads, double-buffered
-    return live * blk + refs + 3 * slab <= 100 * 1024 * 1024
+    budget = _env_int("LAMBDAPIC_SLAB_VMEM_MB", 100) * 1024 * 1024
+    return live * blk + refs + 3 * slab <= budget
 
 
 def slab_enabled() -> bool:
@@ -293,8 +294,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     slots on output (w, coords, momenta).
 
     Returns (alive8_out, payloads_out, inv_gamma, rims, n_merged):
-    rims (nbx, 4, bx+4, ny+2g[, nz+2g]) — overlap-add along x only
-    (cellpallas._fold) to get the padded J."""
+    rims (4, nbx, bx+4, ny+2g[, nz+2g]), channel-first — overlap-add
+    along x only (cellpallas._fold_cfirst) to get the padded J."""
     from jax.experimental.pallas import tpu as pltpu
 
     cap = alive8.shape[0]
@@ -542,9 +543,9 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                        + dsx * dsy * (1.0 / 12.0))).sum(0)
                         rho_c = (f_cd * s1x[ox] * s1y[oy]).sum(0)
                         cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
-                        cur = out_rims[0, :, 2 + ox:2 + ox + bx,
+                        cur = out_rims[:, 0, 2 + ox:2 + ox + bx,
                                        g + oy:g + oy + ny]
-                        out_rims[0, :, 2 + ox:2 + ox + bx,
+                        out_rims[:, 0, 2 + ox:2 + ox + bx,
                                  g + oy:g + oy + ny] = cur + cell
             else:
                 f_cd = jnp.asarray(q / vol, dtype) * w
@@ -601,10 +602,10 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                     + cx_[ox] * pyz_jz2).sum(0)
                             rho_c = (s1x[ox] * pyz_r).sum(0)
                             cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
-                            cur = out_rims[0, :, 2 + ox:2 + ox + bx,
+                            cur = out_rims[:, 0, 2 + ox:2 + ox + bx,
                                            g + oy:g + oy + ny,
                                            g + oz:g + oz + nz]
-                            out_rims[0, :, 2 + ox:2 + ox + bx,
+                            out_rims[:, 0, 2 + ox:2 + ox + bx,
                                      g + oy:g + oy + ny,
                                      g + oz:g + oz + nz] = cur + cell
 
@@ -665,9 +666,11 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                        for i in range(nbx)])
     ebspec = pl.BlockSpec((1, 6, bx + 4) + opad,
                           lambda *a: (a[0], 0, 0) + zeros)
-    rims_shape = (nbx, 4, bx + 4) + opad
-    rspec = pl.BlockSpec((1, 4, bx + 4) + opad,
-                         lambda *a: (a[0], 0, 0) + zeros)
+    # channel-first rims: the fold's flatten is then a pure reshape
+    # (no (nb, C) -> (C, nb) relayout; see cellpallas._fold_cfirst)
+    rims_shape = (4, nbx, bx + 4) + opad
+    rspec = pl.BlockSpec((4, 1, bx + 4) + opad,
+                         lambda *a: (0, a[0], 0) + zeros)
     cnt_spec = pl.BlockSpec((8, 128), lambda *a: (0, 0))
 
     arrs = [alive8, ig] + [data[nm] for nm in names]
@@ -726,7 +729,7 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
     Returns (data, alive, n_lost, jpad): data holds the fully pushed
     state (positions/momenta/inv_gamma post-Boris), jpad the padded
     Esirkepov currents (4, nx+2g, ...)."""
-    from .cellpallas import _fold
+    from .cellpallas import _fold_cfirst
 
     if skip_empty is None:
         skip_empty = occ_skip_enabled()
@@ -802,7 +805,7 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
     data = {**data, **dict(zip(names, pays_out))}
     data["inv_gamma"] = ig_out
     alive = alive_out != 0
-    jpad = _fold(rims, nx, g, bx)
+    jpad = _fold_cfirst(rims, nx, g, bx)
     return data, alive, n_lost, jpad
 
 

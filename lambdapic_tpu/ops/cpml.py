@@ -85,6 +85,30 @@ def _face_profiles(n: int, d: float, dt: float, p: CPMLParams,
     return kappa_e, b_e, c_e, kappa_b, b_b, c_b
 
 
+def cpml_slab_enabled() -> bool:
+    """Slab-restricted psi storage (default on): psi arrays cover only the
+    rows where c != 0 (the PML slabs) instead of the whole grid, cutting
+    the psi HBM traffic ~n/thickness-fold. LAMBDAPIC_CPML_SLAB=0 restores
+    full-size psi arrays (the update kernels accept either shape)."""
+    import os
+    return os.environ.get("LAMBDAPIC_CPML_SLAB", "1") != "0"
+
+
+def psi_regions(prof: Dict[str, np.ndarray]) -> tuple:
+    """Contiguous runs of rows where the psi recursion can be nonzero
+    (c_e != 0 or c_b != 0) along one axis: ((start, width), ...).
+    psi stays exactly zero outside these runs (b=1, c=0 there), so
+    slab-restricted storage is bitwise-equivalent to full arrays."""
+    nz = (prof["c_e"] != 0) | (prof["c_b"] != 0)
+    idx = np.flatnonzero(nz)
+    if idx.size == 0:
+        return ()
+    splits = np.flatnonzero(np.diff(idx) > 1)
+    starts = [int(idx[0])] + [int(idx[s + 1]) for s in splits]
+    ends = [int(idx[s]) for s in splits] + [int(idx[-1])]
+    return tuple((s, e - s + 1) for s, e in zip(starts, ends))
+
+
 @dataclass(frozen=True)
 class CPMLCoeffs:
     """Host-precomputed global coefficient profiles, one entry per axis that
@@ -96,6 +120,14 @@ class CPMLCoeffs:
 
     def axis(self, ax: str) -> Optional[Dict[str, np.ndarray]]:
         return self.profiles.get(ax)
+
+    def regions(self, ax: str) -> tuple:
+        prof = self.profiles.get(ax)
+        return psi_regions(prof) if prof is not None else ()
+
+    def psi_width(self, ax: str) -> int:
+        """Total slab rows along ``ax`` (the slab-psi array extent)."""
+        return sum(w for _, w in self.regions(ax))
 
 
 def build_cpml(grid: Grid, dt: float, params: CPMLParams) -> CPMLCoeffs:

@@ -30,6 +30,87 @@ def _bcast(arr_1d, axis: int, ndim: int, dtype):
     return jnp.asarray(arr_1d, dtype=dtype).reshape(shape)
 
 
+def _slice_ax(arr, axis: int, start: int, stop: int):
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = slice(start, stop)
+    return arr[tuple(idx)]
+
+
+def _diff_region(f, axis: int, start: int, width: int, periodic: bool,
+                 hi: bool):
+    """Rows [start, start+width) of diff_lo(f) (hi=False) or diff_hi(f)
+    (hi=True) along ``axis``, computed on a (width+1)-row slice only.
+    Out-of-range neighbor rows wrap when periodic, else read zero —
+    identical to shifts.diff_lo/diff_hi on the full array."""
+    n = f.shape[axis]
+    if hi:
+        if start + width < n:
+            sl = _slice_ax(f, axis, start, start + width + 1)
+        else:
+            last = _slice_ax(f, axis, 0, 1) if periodic else \
+                jnp.zeros_like(_slice_ax(f, axis, 0, 1))
+            sl = jnp.concatenate(
+                [_slice_ax(f, axis, start, n), last], axis=axis)
+    else:
+        if start > 0:
+            sl = _slice_ax(f, axis, start - 1, start + width)
+        else:
+            prev = _slice_ax(f, axis, n - 1, n) if periodic else \
+                jnp.zeros_like(_slice_ax(f, axis, 0, 1))
+            sl = jnp.concatenate(
+                [prev, _slice_ax(f, axis, 0, width)], axis=axis)
+    return (_slice_ax(sl, axis, 1, width + 1)
+            - _slice_ax(sl, axis, 0, width))
+
+
+def _psi_axis_update(psi, fields_by_name, cpml: CPMLCoeffs, ax: str,
+                     axis: int, which: str, fac, periodic: bool, dtype,
+                     pairs):
+    """One axis's psi recursion + field correction, on either full-size
+    or slab-restricted psi arrays (detected from the stored shape).
+
+    pairs = ((psi_key, src_name, tgt_name, sign), ...): for each psi
+    array on this axis, the curl source field (diff'd along ``axis``),
+    the corrected target field, and the sign of the ``fac * psi``
+    correction. Mutates ``psi`` and ``fields_by_name`` in place.
+    """
+    prof = cpml.axis(ax)
+    ndim = fields_by_name[pairs[0][1]].ndim
+    coef = "b_" + which, "c_" + which
+    full_n = fields_by_name[pairs[0][1]].shape[axis]
+    slab = psi[pairs[0][0]].shape[axis] != full_n
+    if not slab:
+        b = _bcast(prof[coef[0]], axis, ndim, dtype)
+        cc = _bcast(prof[coef[1]], axis, ndim, dtype)
+        d = diff_hi if which == "b" else diff_lo
+        for key, src, tgt, sign in pairs:
+            p = b * psi[key] + cc * d(fields_by_name[src], axis, periodic)
+            psi[key] = p
+            fields_by_name[tgt] = fields_by_name[tgt] + sign * fac * p
+        return
+
+    regions = cpml.regions(ax)
+    off = 0
+    new_parts = {key: [] for key, *_ in pairs}
+    for start, width in regions:
+        b = _bcast(prof[coef[0]][start:start + width], axis, ndim, dtype)
+        cc = _bcast(prof[coef[1]][start:start + width], axis, ndim, dtype)
+        for key, src, tgt, sign in pairs:
+            p_old = _slice_ax(psi[key], axis, off, off + width)
+            d = _diff_region(fields_by_name[src], axis, start, width,
+                             periodic, hi=(which == "b"))
+            p = b * p_old + cc * d
+            new_parts[key].append(p)
+            idx = [slice(None)] * ndim
+            idx[axis] = slice(start, start + width)
+            fields_by_name[tgt] = fields_by_name[tgt].at[tuple(idx)].add(
+                sign * fac * p)
+        off += width
+    for key, parts in new_parts.items():
+        psi[key] = parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=axis)
+
+
 def _kappa_factors(grid: Grid, cpml: Optional[CPMLCoeffs], which: str, dtype):
     """Per-axis 1/kappa broadcastables (1.0 where axis has no PML)."""
     ndim = grid.dimension
@@ -79,28 +160,20 @@ def update_efield(fields: FieldsState, grid: Grid, dt: float,
 
     psi = dict(fields.psi)
     if cpml is not None:
-        fac = bf
-        if (prof := cpml.axis("x")) is not None:
-            b = _bcast(prof["b_e"], 0, ndim, dtype)
-            cc = _bcast(prof["c_e"], 0, ndim, dtype)
-            psi["psi_ey_x"] = b * psi["psi_ey_x"] + cc * diff_lo(bz, 0, per[0])
-            psi["psi_ez_x"] = b * psi["psi_ez_x"] + cc * diff_lo(by, 0, per[0])
-            ey = ey - fac * psi["psi_ey_x"]
-            ez = ez + fac * psi["psi_ez_x"]
-        if (prof := cpml.axis("y")) is not None:
-            b = _bcast(prof["b_e"], 1, ndim, dtype)
-            cc = _bcast(prof["c_e"], 1, ndim, dtype)
-            psi["psi_ex_y"] = b * psi["psi_ex_y"] + cc * diff_lo(bz, 1, per[1])
-            psi["psi_ez_y"] = b * psi["psi_ez_y"] + cc * diff_lo(bx, 1, per[1])
-            ex = ex + fac * psi["psi_ex_y"]
-            ez = ez - fac * psi["psi_ez_y"]
-        if ndim == 3 and (prof := cpml.axis("z")) is not None:
-            b = _bcast(prof["b_e"], 2, ndim, dtype)
-            cc = _bcast(prof["c_e"], 2, ndim, dtype)
-            psi["psi_ex_z"] = b * psi["psi_ex_z"] + cc * diff_lo(by, 2, per[2])
-            psi["psi_ey_z"] = b * psi["psi_ey_z"] + cc * diff_lo(bx, 2, per[2])
-            ex = ex - fac * psi["psi_ex_z"]
-            ey = ey + fac * psi["psi_ey_z"]
+        fb = {"ex": ex, "ey": ey, "ez": ez, "bx": bx, "by": by, "bz": bz}
+        if cpml.axis("x") is not None:
+            _psi_axis_update(psi, fb, cpml, "x", 0, "e", bf, per[0], dtype,
+                             (("psi_ey_x", "bz", "ey", -1),
+                              ("psi_ez_x", "by", "ez", +1)))
+        if cpml.axis("y") is not None:
+            _psi_axis_update(psi, fb, cpml, "y", 1, "e", bf, per[1], dtype,
+                             (("psi_ex_y", "bz", "ex", +1),
+                              ("psi_ez_y", "bx", "ez", -1)))
+        if ndim == 3 and cpml.axis("z") is not None:
+            _psi_axis_update(psi, fb, cpml, "z", 2, "e", bf, per[2], dtype,
+                             (("psi_ex_z", "by", "ex", -1),
+                              ("psi_ey_z", "bx", "ey", +1)))
+        ex, ey, ez = fb["ex"], fb["ey"], fb["ez"]
 
     return fields.replace(ex=ex, ey=ey, ez=ez, psi=psi)
 
@@ -138,26 +211,19 @@ def update_bfield(fields: FieldsState, grid: Grid, dt: float,
 
     psi = dict(fields.psi)
     if cpml is not None:
-        if (prof := cpml.axis("x")) is not None:
-            b = _bcast(prof["b_b"], 0, ndim, dtype)
-            cc = _bcast(prof["c_b"], 0, ndim, dtype)
-            psi["psi_by_x"] = b * psi["psi_by_x"] + cc * diff_hi(ez, 0, per[0])
-            psi["psi_bz_x"] = b * psi["psi_bz_x"] + cc * diff_hi(ey, 0, per[0])
-            by = by + dtc * psi["psi_by_x"]
-            bz = bz - dtc * psi["psi_bz_x"]
-        if (prof := cpml.axis("y")) is not None:
-            b = _bcast(prof["b_b"], 1, ndim, dtype)
-            cc = _bcast(prof["c_b"], 1, ndim, dtype)
-            psi["psi_bx_y"] = b * psi["psi_bx_y"] + cc * diff_hi(ez, 1, per[1])
-            psi["psi_bz_y"] = b * psi["psi_bz_y"] + cc * diff_hi(ex, 1, per[1])
-            bx = bx - dtc * psi["psi_bx_y"]
-            bz = bz + dtc * psi["psi_bz_y"]
-        if ndim == 3 and (prof := cpml.axis("z")) is not None:
-            b = _bcast(prof["b_b"], 2, ndim, dtype)
-            cc = _bcast(prof["c_b"], 2, ndim, dtype)
-            psi["psi_bx_z"] = b * psi["psi_bx_z"] + cc * diff_hi(ey, 2, per[2])
-            psi["psi_by_z"] = b * psi["psi_by_z"] + cc * diff_hi(ex, 2, per[2])
-            bx = bx + dtc * psi["psi_bx_z"]
-            by = by - dtc * psi["psi_by_z"]
+        fb = {"ex": ex, "ey": ey, "ez": ez, "bx": bx, "by": by, "bz": bz}
+        if cpml.axis("x") is not None:
+            _psi_axis_update(psi, fb, cpml, "x", 0, "b", dtc, per[0], dtype,
+                             (("psi_by_x", "ez", "by", +1),
+                              ("psi_bz_x", "ey", "bz", -1)))
+        if cpml.axis("y") is not None:
+            _psi_axis_update(psi, fb, cpml, "y", 1, "b", dtc, per[1], dtype,
+                             (("psi_bx_y", "ez", "bx", -1),
+                              ("psi_bz_y", "ex", "bz", +1)))
+        if ndim == 3 and cpml.axis("z") is not None:
+            _psi_axis_update(psi, fb, cpml, "z", 2, "b", dtc, per[2], dtype,
+                             (("psi_bx_z", "ey", "bx", +1),
+                              ("psi_by_z", "ex", "by", -1)))
+        bx, by, bz = fb["bx"], fb["by"], fb["bz"]
 
     return fields.replace(bx=bx, by=by, bz=bz, psi=psi)

@@ -252,6 +252,12 @@ def bin_cells(arrays: Dict[str, np.ndarray], counts: np.ndarray,
     # the migration sort's dead-slot parity split
     auto = max(4, int(np.ceil(occ_max * factor / 2) * 2))
     cap_c = auto if cap_c is None else max(cap_c, auto)   # cap_c = floor
+    import os
+    if (ov := os.environ.get("LAMBDAPIC_CELL_CAP")):
+        # perf-experiment override (odd values legal: cap is an untiled
+        # leading axis and the dead-parity keys only need alternation);
+        # occupancy pressure falls back to weight-conserving merges
+        cap_c = max(int(ov), occ_max)
 
     out = {k: np.zeros(mshape + (cap_c,) + nloc, dtype=v.dtype)
            for k, v in arrays.items()}

@@ -340,9 +340,19 @@ class Simulation:
             if any_pml else None
 
         dtype = self.dtype
-        fields = zeros_fields(self.grid, dtype=dtype, with_pml=any_pml)
-        fsh = pmesh.field_sharding(self.mesh)
-        fields = jax.tree.map(lambda a: dist.put_global(a, fsh), fields)
+        fields = zeros_fields(self.grid, dtype=dtype, with_pml=any_pml,
+                              cpml=self.cpml)
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        g_shape = self.grid.shape
+
+        def _field_put(a):
+            # slab-restricted psi arrays replicate their (tiny) slab axis
+            # instead of sharding it over the mesh
+            names = [n if a.shape[i] == g_shape[i] else None
+                     for i, n in enumerate(self.mesh.axis_names)]
+            return dist.put_global(a, NamedSharding(self.mesh, _P(*names)))
+
+        fields = jax.tree.map(_field_put, fields)
 
         if self.cell_migration not in ("fast", "exact"):
             raise ValueError(

@@ -1083,7 +1083,14 @@ class StepBuilder:
             updates = {name: shift_fields(getattr(f, name))
                        for name in ("ex", "ey", "ez", "bx", "by", "bz",
                                     "jx", "jy", "jz", "rho")}
-            psi = {k: shift_fields(v) for k, v in f.psi.items()}
+            # slab-restricted psi_*_x arrays (axis 0 = slab rows, not x)
+            # are NOT shifted: the x PML is removed before the window
+            # starts (models/moving_window.py) so they are inert zeros.
+            # psi_*_y / psi_*_z keep their full x extent and shift along.
+            psi = {k: (v if (k.endswith("_x")
+                             and v.shape[0] != f.ex.shape[0])
+                       else shift_fields(v))
+                   for k, v in f.psi.items()}
             f = f.replace(psi=psi, **updates)
             parts = []
             for ispec, sp in enumerate(self.species):
