@@ -364,10 +364,13 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             side; returns (key_rows, payload_row_lists)."""
             al, igr, pays = [], [], [[] for _ in range(n_pay)]
             for a in range(cap):
+                # edge alive rides in as int32 (a u8 (cap,1,ny,nz) edge
+                # array costs a measured ~4 ms/step (4,1)-packed layout
+                # copy on its way into the kernel); columns stay u8
                 al.append(jnp.where(
                     sel_edge, edge_refs[0][a:a + 1, 0:1],
-                    col_refs[0][a:a + 1, 0:1]).reshape(
-                        strip_shape).astype(jnp.int32) != 0)
+                    col_refs[0][a:a + 1, 0:1].astype(jnp.int32))
+                    .reshape(strip_shape) != 0)
                 igr.append(jnp.where(
                     sel_edge, edge_refs[1][a:a + 1, 0:1],
                     col_refs[1][a:a + 1, 0:1]).reshape(strip_shape))
@@ -689,7 +692,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     if not _use_interpret():
         from jax.experimental.pallas import tpu as pltpu2
         kw = {"compiler_params": pltpu2.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024)}
+            vmem_limit_bytes=max(112, _env_int("LAMBDAPIC_SLAB_VMEM_MB",
+                                               112)) * 1024 * 1024)}
     if occ is None:
         occ = jnp.ones((nbx,), jnp.int32)
     qm = jnp.asarray([q, m], jnp.float64 if dtype == jnp.float64
@@ -779,6 +783,11 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
             else:
                 lo = jnp.zeros_like(lo)
                 hi = jnp.zeros_like(hi)
+        if a_i == 0:
+            # i32 edge alive: the u8 (cap,1,ny,nz) form pays a measured
+            # ~4 ms/step (4,1)-packed layout copy entering the kernel
+            lo = lo.astype(jnp.int32)
+            hi = hi.astype(jnp.int32)
         edges_lo.append(lo)
         edges_hi.append(hi)
 

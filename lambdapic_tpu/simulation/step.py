@@ -140,6 +140,10 @@ class StepBuilder:
         self._p_field = P(*names)
         self._p_stack = P(None, *names)
         self._p_part = P(*names)      # (npx, npy[, npz], cap): cap replicated
+        # fused Pallas fields half-updates (ops/fieldspallas.py) are not
+        # SPMD-partitionable: only eligible on a one-device mesh
+        import numpy as _np
+        self._fields_pl_mesh = int(_np.prod(grid.mesh_shape)) == 1
         self._damping = None          # masked-domain sponge (mask_simulation)
         self._domain_mask = None
         # ispec -> True when the species block refreshes the gathered-field
@@ -1116,12 +1120,24 @@ class StepBuilder:
         return f.replace(ex=f.ex * d, ey=f.ey * d, ez=f.ez * d,
                          bx=f.bx * d, by=f.by * d, bz=f.bz * d)
 
+    def _maxwell_fns(self, f: FieldsState):
+        """(update_efield, update_bfield) — the fused Pallas pair when
+        eligible (one-device mesh + ops/fieldspallas.py static checks),
+        else the XLA ops."""
+        from ..ops.fieldspallas import (fields_pallas_ok, update_bfield_pl,
+                                        update_efield_pl)
+        if self._fields_pl_mesh and fields_pallas_ok(f, self.grid,
+                                                     self.cpml):
+            return update_efield_pl, update_bfield_pl
+        return update_efield, update_bfield
+
     def seg_fields_1(self, state: SimulationState, scalars) -> SimulationState:
         """E += dt/2 ; B += dt/2 (reference simulation.py:946-960)."""
         f = state.fields
         if self.switches["maxwell"]:
-            f = update_efield(f, self.grid, self.dt / 2, self.cpml)
-            f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
+            ue, ub = self._maxwell_fns(f)
+            f = ue(f, self.grid, self.dt / 2, self.cpml)
+            f = ub(f, self.grid, self.dt / 2, self.cpml)
             f = self._apply_damping(f)
         return state.replace(fields=f)
 
@@ -1202,13 +1218,14 @@ class StepBuilder:
     def seg_fields_2(self, state: SimulationState, scalars) -> SimulationState:
         """B += dt/2 ; lasers ; E += dt/2 (reference simulation.py:1097-1118)."""
         f = state.fields
+        ue, ub = self._maxwell_fns(f)
         if self.switches["maxwell"]:
-            f = update_bfield(f, self.grid, self.dt / 2, self.cpml)
+            f = ub(f, self.grid, self.dt / 2, self.cpml)
         for i, laser in enumerate(self.lasers):
             f = laser.apply(f, self.grid, self.dt,
                             scalars.get(f"laser{i}", {}))
         if self.switches["maxwell"]:
-            f = update_efield(f, self.grid, self.dt / 2, self.cpml)
+            f = ue(f, self.grid, self.dt / 2, self.cpml)
             f = self._apply_damping(f)
         return state.replace(fields=f)
 
