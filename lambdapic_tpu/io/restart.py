@@ -126,7 +126,17 @@ class RestartDump(Callback):
                 return dist.put_global(a, psh)
             if a.shape == sim.grid.mesh_shape:
                 return dist.put_global(a, ssh)
-            return dist.put_global(a, fsh)
+            if a.shape == sim.grid.shape:
+                return dist.put_global(a, fsh)
+            # slab-restricted CPML psi arrays: replicate the (tiny)
+            # slab axis instead of sharding it (mirror
+            # Simulation.initialize's _field_put)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            names = [n if k < a.ndim and a.shape[k] == sim.grid.shape[k]
+                     else None
+                     for k, n in enumerate(sim.mesh.axis_names)]
+            return dist.put_global(a, NamedSharding(sim.mesh, _P(*names)))
 
         sim.state = jax.tree.map(put, state_np)
         # capacities from the checkpoint override the freshly-initialized ones

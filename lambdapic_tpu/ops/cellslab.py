@@ -324,21 +324,31 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
 
     n_arr = 2 + n_pay          # alive8, ig, payloads
 
+    # eb_pad window refs per slab: 3D reads bx+4 single columns
+    # (element-granular maps — x is an untiled dim there); 2D reads one
+    # block-granular bx-row main block + one 8-row tail block (x is the
+    # sublane dim in 2D: 1-row blocks are not legal TPU blocks)
+    n_ebr = (bx + 4) if ndim == 3 else 2
+    # in-kernel sublane offset of the wanted neighbor column inside the
+    # fetched payload block (2D fetches 8-row blocks; see cspec_lo)
+    coff_lo = 7 if ndim == 2 else 0
+
     def kernel(*refs):
         qm_ref, occ_ref, refs = refs[0], refs[1], refs[2:]
-        ebw_ref = refs[0]
-        a_ref = refs[1]
-        ig_ref = refs[2]
-        p_refs = refs[3:3 + n_pay]
-        cl_refs = refs[3 + n_pay:3 + n_pay + n_arr]
-        ch_refs = refs[3 + n_pay + n_arr:3 + n_pay + 2 * n_arr]
-        el_refs = refs[3 + n_pay + 2 * n_arr:3 + n_pay + 3 * n_arr]
-        eh_refs = refs[3 + n_pay + 3 * n_arr:3 + n_pay + 4 * n_arr]
-        out_a = refs[3 + n_pay + 4 * n_arr]
-        out_p = refs[4 + n_pay + 4 * n_arr:4 + 2 * n_pay + 4 * n_arr]
-        out_ig = refs[4 + 2 * n_pay + 4 * n_arr]
-        out_rims = refs[5 + 2 * n_pay + 4 * n_arr]
-        out_m = refs[6 + 2 * n_pay + 4 * n_arr]
+        ebc_refs = refs[0:n_ebr]
+        refs = refs[n_ebr:]
+        a_ref = refs[0]
+        ig_ref = refs[1]
+        p_refs = refs[2:2 + n_pay]
+        cl_refs = refs[2 + n_pay:2 + n_pay + n_arr]
+        ch_refs = refs[2 + n_pay + n_arr:2 + n_pay + 2 * n_arr]
+        el_refs = refs[2 + n_pay + 2 * n_arr:2 + n_pay + 3 * n_arr]
+        eh_refs = refs[2 + n_pay + 3 * n_arr:2 + n_pay + 4 * n_arr]
+        out_a = refs[2 + n_pay + 4 * n_arr]
+        out_p = refs[3 + n_pay + 4 * n_arr:3 + 2 * n_pay + 4 * n_arr]
+        out_ig = refs[3 + 2 * n_pay + 4 * n_arr]
+        out_rims = refs[4 + 2 * n_pay + 4 * n_arr]
+        out_m = refs[5 + 2 * n_pay + 4 * n_arr]
         i = pl.program_id(0)
         is_first = i == 0
         is_last = i == nbx - 1
@@ -359,9 +369,12 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                      + pay[ui[k]][a] * igr[a] * cdt2[k])
             return pay
 
-        def strip_side(col_refs, edge_refs, sel_edge, cell_idx, adj):
+        def strip_side(col_refs, edge_refs, sel_edge, cell_idx, adj,
+                       co):
             """Selected + pushed + coord-adjusted strip rows for one x
-            side; returns (key_rows, payload_row_lists)."""
+            side; returns (key_rows, payload_row_lists). ``co`` = the
+            sublane offset of the neighbor column inside the fetched
+            block (0 in 3D; 7/0 for the 2D lo/hi 8-row blocks)."""
             al, igr, pays = [], [], [[] for _ in range(n_pay)]
             for a in range(cap):
                 # edge alive rides in as int32 (a u8 (cap,1,ny,nz) edge
@@ -369,15 +382,15 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 # copy on its way into the kernel); columns stay u8
                 al.append(jnp.where(
                     sel_edge, edge_refs[0][a:a + 1, 0:1],
-                    col_refs[0][a:a + 1, 0:1].astype(jnp.int32))
+                    col_refs[0][a:a + 1, co:co + 1].astype(jnp.int32))
                     .reshape(strip_shape) != 0)
                 igr.append(jnp.where(
                     sel_edge, edge_refs[1][a:a + 1, 0:1],
-                    col_refs[1][a:a + 1, 0:1]).reshape(strip_shape))
+                    col_refs[1][a:a + 1, co:co + 1]).reshape(strip_shape))
                 for p in range(n_pay):
                     pays[p].append(jnp.where(
                         sel_edge, edge_refs[2 + p][a:a + 1, 0:1],
-                        col_refs[2 + p][a:a + 1, 0:1]).reshape(
+                        col_refs[2 + p][a:a + 1, co:co + 1]).reshape(
                             strip_shape))
             pays = push_rows(al, igr, pays)
             keys = []
@@ -422,9 +435,9 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             abl = _ablate()
             if "merge" not in abl:
                 skl, spl = strip_side(cl_refs, el_refs, is_first,
-                                      i * bx - 1, -1)
+                                      i * bx - 1, -1, coff_lo)
                 skh, sph = strip_side(ch_refs, eh_refs, is_last,
-                                      (i + 1) * bx, +1)
+                                      (i + 1) * bx, +1, 0)
                 alive_rows, pays, n_merged = _merge_axis(
                     ces, 1, keys, pays, skl, spl, skh, sph,
                     merge_idx, n_merged)
@@ -473,6 +486,16 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             if "gather" in abl:
                 eb = [jnp.zeros(shp, dtype) for _ in range(6)]
             else:
+                # field window (6, bx+4, ...) assembled from the direct
+                # eb_pad refs (no pre-stacked ebwin array in HBM): 3D
+                # from bx+4 single columns, 2D from the bx-row main
+                # block + the first 4 rows of the 8-row tail block
+                if ndim == 3:
+                    ebw = jnp.concatenate([r[...] for r in ebc_refs],
+                                          axis=1)
+                else:
+                    ebw = jnp.concatenate(
+                        [ebc_refs[0][...], ebc_refs[1][:, 0:4]], axis=1)
                 taps = [{"g": {o: _m2(o - d) for o in _GOFF},
                          "h": {o: _m2(o + 0.5 - d) for o in _HOFF}}
                         for d in dl]
@@ -483,21 +506,21 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                     if ndim == 2:
                         for oy, ty in taps[1][stag[1]].items():
                             for ox, tx in taps[0][stag[0]].items():
-                                f = ebw_ref[0, comp, g + ox:g + ox + bx,
-                                            g + oy:g + oy + other[0]]
+                                f = ebw[comp, g + ox:g + ox + bx,
+                                        g + oy:g + oy + other[0]]
                                 acc = acc + tx * ty * f[None]
                     else:
                         for oy, ty in taps[1][stag[1]].items():
                             for oz, tz in taps[2][stag[2]].items():
                                 tyz = ty * tz
                                 for ox, tx in taps[0][stag[0]].items():
-                                    f = ebw_ref[0, comp,
-                                                g + ox:g + ox + bx,
-                                                g + oy:g + oy + other[0],
-                                                g + oz:g + oz + other[1]]
+                                    f = ebw[comp,
+                                            g + ox:g + ox + bx,
+                                            g + oy:g + oy + other[0],
+                                            g + oz:g + oz + other[1]]
                                     acc = acc + tx * tyz * f[None]
                     eb.append(acc)
-                del taps
+                del taps, ebw
 
             ux4, uy4, uz4, ig2 = _boris(ux0, uy0, uz0, *eb, q, m, dt,
                                         dtype)
@@ -652,23 +675,50 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     # index maps take *a so the occ path's trailing scalar-prefetch ref
     # argument is absorbed (PrefetchScalarGridSpec appends it)
     mspec = pl.BlockSpec(blk, lambda *a: (0, a[0]) + zeros)
-    colblk = (cap, 1) + tuple(other)
-    # neighbor x-columns read straight from the payload arrays: block =
-    # one column, offset computed from the grid index (clamped; the
-    # kernel selects the edge refs instead at i==0 / i==nbx-1)
-    cspec_lo = pl.BlockSpec(
-        colblk, lambda *a: (0, jnp.maximum(a[0] * bx - 1, 0)) + zeros)
-    cspec_hi = pl.BlockSpec(
-        colblk, lambda *a: (0, jnp.minimum((a[0] + 1) * bx, nx - 1))
-        + zeros)
-    espec = pl.BlockSpec(colblk, lambda *a: (0, 0) + zeros)
-    # per-slab field windows, pre-stacked (overlapping windows are not
-    # expressible as a BlockSpec)
-    ebwin = jnp.stack([lax.slice_in_dim(eb_pad, i * bx, i * bx + bx + 4,
-                                        axis=1)
-                       for i in range(nbx)])
-    ebspec = pl.BlockSpec((1, 6, bx + 4) + opad,
-                          lambda *a: (a[0], 0, 0) + zeros)
+    # neighbor x-columns read straight from the payload arrays; the
+    # kernel selects the edge refs instead at i==0 / i==nbx-1, so the
+    # clamped fetches there are dead. 3D: block = one column
+    # (element-granular map — x is untiled). 2D: x is the sublane dim,
+    # so fetch a legal 8-row block whose row 7 (lo) / row 0 (hi) is the
+    # wanted column (bx is 8-divisible in 2D, slab_supported gates).
+    if ndim == 2:
+        b8 = bx // 8
+        colblk = (cap, 8) + tuple(other)
+        cspec_lo = pl.BlockSpec(
+            colblk, lambda *a: (0, jnp.maximum(a[0] * b8 - 1, 0)) + zeros)
+        cspec_hi = pl.BlockSpec(
+            colblk,
+            lambda *a: (0, jnp.minimum((a[0] + 1) * b8, nx // 8 - 1))
+            + zeros)
+    else:
+        colblk = (cap, 1) + tuple(other)
+        cspec_lo = pl.BlockSpec(
+            colblk, lambda *a: (0, jnp.maximum(a[0] * bx - 1, 0)) + zeros)
+        cspec_hi = pl.BlockSpec(
+            colblk, lambda *a: (0, jnp.minimum((a[0] + 1) * bx, nx - 1))
+            + zeros)
+    espec = pl.BlockSpec((cap, 1) + tuple(other),
+                         lambda *a: (0, 0) + zeros)
+    # per-slab field windows read DIRECTLY from eb_pad (no pre-stacked
+    # ebwin HBM round trip, ~160 MB/step/species at the 3D bench shape).
+    # The bx+4 windows overlap between slabs, which one block-granular
+    # BlockSpec cannot express. 3D: a fan of bx+4 single-column refs
+    # with element-granular index maps (offsets stay in [0, nx+2g): the
+    # guard padding covers the +-2 reach, no clamping). 2D: single-row
+    # blocks are illegal (x = sublane dim), so one bx-row main block +
+    # one 8-row tail block whose first 4 rows complete the window (the
+    # tail fetch at the last slab is a legal partial boundary block).
+    if ndim == 2:
+        ebspecs = [
+            pl.BlockSpec((6, bx) + opad, lambda *a: (0, a[0]) + zeros),
+            pl.BlockSpec((6, 8) + opad,
+                         lambda *a: (0, (a[0] + 1) * (bx // 8)) + zeros),
+        ]
+    else:
+        ebspecs = [pl.BlockSpec(
+            (6, 1) + opad,
+            lambda *a, _k=k: (0, a[0] * bx + _k) + zeros)
+            for k in range(bx + 4)]
     # channel-first rims: the fold's flatten is then a pure reshape
     # (no (nb, C) -> (C, nb) relayout; see cellpallas._fold_cfirst)
     rims_shape = (4, nbx, bx + 4) + opad
@@ -677,7 +727,7 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     cnt_spec = pl.BlockSpec((8, 128), lambda *a: (0, 0))
 
     arrs = [alive8, ig] + [data[nm] for nm in names]
-    in_specs = ([ebspec, mspec, mspec] + [mspec] * n_pay
+    in_specs = (ebspecs + [mspec, mspec] + [mspec] * n_pay
                 + [cspec_lo] * n_arr + [cspec_hi] * n_arr
                 + [espec] * n_arr + [espec] * n_arr)
     out_specs = ([mspec] + [mspec] * n_pay + [mspec, rspec, cnt_spec])
@@ -703,7 +753,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
         in_specs=in_specs, out_specs=out_specs))
 
     outs = pl.pallas_call(kernel, out_shape=out_shape, **call_kw,
-                          **kw)(qm, occ, ebwin, alive8, ig,
+                          **kw)(qm, occ, *([eb_pad] * n_ebr),
+                                alive8, ig,
                                 *[data[nm] for nm in names],
                                 *arrs, *arrs,        # lo / hi columns
                                 *edges_lo, *edges_hi)
@@ -722,7 +773,7 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
 def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                       plan, *, q: float, m: float, dt: float,
                       deltas: Sequence[float], g: int,
-                      skip_empty: bool | None = None):
+                      skip_empty: bool | None = None, fold: bool = True):
     """The fused-path species stage on the slab megakernel. ``plan`` =
     ((nloc, HaloSpec, coord), ...) per cell axis, exactly as
     migrate_cells. ``data`` holds the STORED state (pre-push positions
@@ -732,7 +783,10 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
 
     Returns (data, alive, n_lost, jpad): data holds the fully pushed
     state (positions/momenta/inv_gamma post-Boris), jpad the padded
-    Esirkepov currents (4, nx+2g, ...)."""
+    Esirkepov currents (4, nx+2g, ...). With ``fold=False`` the raw
+    channel-first rim panels (4, nbx, bx+4, ny+2g[, nz+2g]) are returned
+    instead, so the caller can sum rims across species and fold once
+    (simulation/step.py::make_fold_reduce)."""
     from .cellpallas import _fold_cfirst
 
     if skip_empty is None:
@@ -814,8 +868,151 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
     data = {**data, **dict(zip(names, pays_out))}
     data["inv_gamma"] = ig_out
     alive = alive_out != 0
-    jpad = _fold_cfirst(rims, nx, g, bx)
+    jpad = _fold_cfirst(rims, nx, g, bx) if fold else rims
     return data, alive, n_lost, jpad
+
+
+def fold_pallas_enabled() -> bool:
+    import os
+    return os.environ.get("LAMBDAPIC_FOLD_PALLAS", "1") != "0"
+
+
+def fold_reduce_slab(rims, *, nloc, g: int, spec0, periodic):
+    """Fold species-summed slab rim panels (4, nbx, b+4, ny+2g[, nz+2g])
+    straight into the INTERIOR current (4, *nloc) in one Pallas pass —
+    replacing cellpallas._fold_cfirst + parallel.halo.halo_reduce (the
+    intermediate padded-J HBM round trip and its dynamic-update-slice /
+    layout-copy glue, a measured ~2.6 ms/step at the 3D bench shape).
+
+    Runs INSIDE shard_map on local blocks. The grid tiles the interior
+    x axis in K-panel groups; each block reads its K+2 overlapping rim
+    panels through element-granular index maps, overlap-adds them at
+    static offsets, adds the cross-device / periodic-wrap x strips
+    (ppermuted here, like halo_reduce's x pass), folds the y/z guards
+    in-block (the slab path requires y/z-unsplit meshes), and writes
+    interior rows. Same additive terms as the XLA pair, reassociated
+    (fp tolerance; tests/core/test_cellslab.py asserts end-to-end).
+
+    Reference parity anchor: sync_currents patch/sync_fields2d.c:77-84.
+    """
+    ndim = len(nloc)
+    nx = nloc[0]
+    C, nbx, bp4 = rims.shape[:3]
+    b = bp4 - 4
+    pads = rims.shape[3:]
+    dtype = rims.dtype
+    # K panels per output block. Scoped-VMEM budget: K+2 double-buffered
+    # panel refs + the output block + accumulator/concat temporaries of
+    # the padded block width; the 64 MB scoped limit is hit near 2x this
+    # estimate, so budget conservatively (3D bench at K=8 measured
+    # 71.75M > 64M; K=4 fits).
+    import numpy as _np
+    item = dtype.itemsize
+    panel_b = C * bp4 * int(_np.prod(pads, dtype=_np.int64)) * item
+    acc_row = C * int(_np.prod(pads, dtype=_np.int64)) * item
+
+    def _vmem_est(k):
+        return ((k + 2) * panel_b * 2          # double-buffered panels
+                + C * k * b * int(_np.prod(nloc[1:], dtype=_np.int64))
+                * item                          # output block
+                + 4 * k * b * acc_row)          # acc + concat temps
+
+    K = max(1, 16 // b)
+    while nx % (K * b) or (K > 1 and _vmem_est(K) > 32 * 2**20):
+        K -= 1
+    bxo = K * b
+    nbo = nx // bxo
+
+    # x-guard strips -> neighbor interiors (halo_reduce's x exchange);
+    # ppermute is the identity at size 1
+    send_lo = rims[:, 0, 0:2]
+    send_hi = rims[:, -1, 2 + b:4 + b]
+    up = [(k, (k + 1) % spec0.size) for k in range(spec0.size)]
+    dn = [(k, (k - 1) % spec0.size) for k in range(spec0.size)]
+    elo = lax.ppermute(send_hi, spec0.axis_name, up)
+    ehi = lax.ppermute(send_lo, spec0.axis_name, dn)
+    if not spec0.periodic:
+        idev = lax.axis_index(spec0.axis_name)
+        elo = jnp.where(idev == 0, jnp.zeros_like(elo), elo)
+        ehi = jnp.where(idev == spec0.size - 1, jnp.zeros_like(ehi), ehi)
+
+    zeros_tr = (0,) * (ndim - 1)
+    pspecs = [pl.BlockSpec(
+        (C, 1, bp4) + pads,
+        lambda i, _p=p: (0, jnp.clip(i * K - 1 + _p, 0, nbx - 1), 0)
+        + zeros_tr)
+        for p in range(K + 2)]
+    espec = pl.BlockSpec((C, 2) + pads, lambda i: (0, 0) + zeros_tr)
+    ospec = pl.BlockSpec((C, bxo) + tuple(nloc[1:]),
+                         lambda i: (0, i) + zeros_tr)
+
+    def kernel(*refs):
+        prefs = refs[:K + 2]
+        elo_r, ehi_r = refs[K + 2], refs[K + 3]
+        out = refs[K + 4]
+        i = pl.program_id(0)
+
+        acc = None
+        for p in range(K + 2):
+            ls = (p - 1) * b - 2          # block-local row of panel row 0
+            rlo = max(0, -ls)
+            rhi = min(bp4, bxo - ls)
+            if rhi <= rlo:
+                continue
+            part = prefs[p][:, 0, rlo:rhi]
+            j = i * K - 1 + p
+            valid = (j >= 0) & (j <= nbx - 1)
+            part = jnp.where(valid, part, jnp.zeros_like(part))
+            pre = ls + rlo
+            post = bxo - pre - (rhi - rlo)
+            segs = []
+            if pre:
+                segs.append(jnp.zeros((C, pre) + pads, dtype))
+            segs.append(part)
+            if post:
+                segs.append(jnp.zeros((C, post) + pads, dtype))
+            part = segs[0] if len(segs) == 1 else jnp.concatenate(segs, 1)
+            acc = part if acc is None else acc + part
+
+        # cross-device / wrap x strips into the first/last interior rows
+        isf = i == 0
+        isl = i == nbo - 1
+        zfill = jnp.zeros((C, bxo - 2) + pads, dtype)
+        ev = jnp.where(isf, elo_r[...], jnp.zeros((C, 2) + pads, dtype))
+        acc = acc + jnp.concatenate([ev, zfill], 1)
+        ev = jnp.where(isl, ehi_r[...], jnp.zeros((C, 2) + pads, dtype))
+        acc = acc + jnp.concatenate([zfill, ev], 1)
+
+        # y (and z) guard folds: local wrap under periodic, drop at open
+        # boundaries (reference: edge patches have no neighbor)
+        val = acc
+        for ax in range(1, ndim):
+            axis = 1 + ax
+            n_ax = val.shape[axis] - 2 * g
+
+            def cut(a_, b_, _v=val, _axis=axis):
+                s = [slice(None)] * _v.ndim
+                s[_axis] = slice(a_, b_)
+                return _v[tuple(s)]
+
+            mid = cut(g, g + n_ax)
+            if periodic[ax]:
+                def mcut(a_, b_, _v=mid, _axis=axis):
+                    s = [slice(None)] * _v.ndim
+                    s[_axis] = slice(a_, b_)
+                    return _v[tuple(s)]
+                head = mcut(0, g) + cut(g + n_ax, g + n_ax + g)
+                tail = mcut(n_ax - g, n_ax) + cut(0, g)
+                mid = jnp.concatenate([head, mcut(g, n_ax - g), tail],
+                                      axis=axis)
+            val = mid
+        out[...] = val
+
+    out_shape = jax.ShapeDtypeStruct((C,) + tuple(nloc), dtype)
+    return pl.pallas_call(
+        kernel, grid=(nbo,), in_specs=pspecs + [espec, espec],
+        out_specs=ospec, out_shape=out_shape,
+        **_compile_kwargs())(*([rims] * (K + 2)), elo, ehi)
 
 
 def slab_supported(plan, nloc, cap, switches, sp, cell_migration: str,
@@ -833,5 +1030,9 @@ def slab_supported(plan, nloc, cap, switches, sp, cell_migration: str,
             return False
     # mesh may be split along x only (in-block wrap along y/z)
     if any(p[1].size > 1 for p in plan[1:]):
+        return False
+    # 2D neighbor-column/window fetches ride 8-row blocks (x is the
+    # sublane dim there): needs 8-divisible slabs
+    if len(nloc) == 2 and (nloc[0] % 8 or slab_bx(nloc[0], 2) % 8):
         return False
     return slab_ok(tuple(nloc), cap)

@@ -108,6 +108,12 @@ def fields_pallas_ok(fields: FieldsState, grid: Grid,
         return False
     if fields.ex.dtype != jnp.float32 and not _use_interpret():
         return False
+    if ndim == 2:
+        # 2D neighbor-column fetches ride 8-row blocks (x is the
+        # second-to-last dim); needs 8-divisible slabs
+        nx = grid.shape[0]
+        if nx % 8 or _fields_bx(nx, ndim) % 8:
+            return False
     if cpml is not None:
         bxf = _fields_bx(grid.shape[0], ndim)
         for axis, ax in enumerate("xyz"[:ndim]):
@@ -198,7 +204,25 @@ def _update_half(fields: FieldsState, grid: Grid, dt: float,
     zeros_tr = (0,) * (ndim - 1)
     mspec = pl.BlockSpec(blk, lambda i: (i,) + zeros_tr)
     colblk = (1,) + other
-    if hi:
+    if ndim == 2:
+        # in 2D, x is the SECOND-TO-LAST dim: a 1-row block of a
+        # (nx, ny) array is not a legal TPU block (must be 8-divisible
+        # or full). Fetch an 8-row block instead — bxf is 8-divisible
+        # here (fields_pallas_ok gates) so the wanted neighbor row sits
+        # at a static offset (7 for the lo fetch, 0 for hi); clamped
+        # edge fetches are dead (the caller-prepared edge column is
+        # selected there).
+        b8 = bxf // 8
+        if hi:
+            cspec = pl.BlockSpec(
+                (8,) + other,
+                lambda i: (jnp.minimum((i + 1) * b8, nx // 8 - 1),)
+                + zeros_tr)
+        else:
+            cspec = pl.BlockSpec(
+                (8,) + other,
+                lambda i: (jnp.maximum(i * b8 - 1, 0),) + zeros_tr)
+    elif hi:
         cspec = pl.BlockSpec(
             colblk,
             lambda i: (jnp.minimum((i + 1) * bxf, nx - 1),) + zeros_tr)
@@ -279,7 +303,12 @@ def _update_half(fields: FieldsState, grid: Grid, dt: float,
 
         def dx_raw(val, col_ref, edg_ref):
             sel = is_last if hi else is_first
-            ncol = jnp.where(sel, edg_ref[...], col_ref[...])
+            if ndim == 2:
+                cv = col_ref[...]
+                ncol = jnp.where(sel, edg_ref[...],
+                                 cv[0:1] if hi else cv[7:8])
+            else:
+                ncol = jnp.where(sel, edg_ref[...], col_ref[...])
             if hi:
                 return jnp.concatenate([val[1:], ncol], axis=0) - val
             return val - jnp.concatenate([ncol, val[:-1]], axis=0)

@@ -140,6 +140,10 @@ class StepBuilder:
         self._p_field = P(*names)
         self._p_stack = P(None, *names)
         self._p_part = P(*names)      # (npx, npy[, npz], cap): cap replicated
+        # slab rim panels (4, nbx, bx+4, ny+2g[, nz+2g]): panel axis
+        # follows the x mesh split; trailing padded dims replicated (the
+        # slab path requires y/z-unsplit meshes)
+        self._p_rims = P(None, names[0])
         # fused Pallas fields half-updates (ops/fieldspallas.py) are not
         # SPMD-partitionable: only eligible on a one-device mesh
         import numpy as _np
@@ -191,6 +195,31 @@ class StepBuilder:
             return halo_reduce(jpad, g, tuple(range(1, 1 + ndim)), specs)
 
         return self._smap(red, (self._p_stack,), self._p_stack)
+
+    def make_fold_reduce(self) -> Callable:
+        """Fold species-summed slab rim panels into the padded J and
+        reduce the guard rims — one pass for all slab species instead of
+        a per-species fold (reference sync_currents,
+        patch/sync_fields2d.c:77-84)."""
+        g = self.grid.n_guard
+        specs = self.halo_specs
+        ndim = self.grid.dimension
+        grid = self.grid
+        nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:ndim]
+
+        def red(rims):
+            from ..ops.cellslab import fold_pallas_enabled, fold_reduce_slab
+            if fold_pallas_enabled():
+                return fold_reduce_slab(
+                    rims, nloc=nloc, g=g, spec0=specs[0],
+                    periodic=tuple(s.periodic for s in specs))
+            from ..ops.cellpallas import _fold_cfirst
+            from ..ops.cellslab import slab_bx
+            b = slab_bx(nloc[0], ndim)
+            jpad = _fold_cfirst(rims, nloc[0], g, b)
+            return halo_reduce(jpad, g, tuple(range(1, 1 + ndim)), specs)
+
+        return self._smap(red, (self._p_rims,), self._p_stack)
 
     # ------------------------------------------------------------------
     ALL_SUBSTAGES = frozenset(
@@ -251,6 +280,23 @@ class StepBuilder:
             use_pallas_cell = False
         split = stages != self.ALL_SUBSTAGES
 
+        # static slab-megakernel decision (identical logic re-derived
+        # inside `local`): the wrapper needs it to pick the payload out
+        # spec — slab species return raw rim panels so seg_particles can
+        # sum rims across species and fold+reduce ONCE
+        fused_static = (not split and use_pallas_cell
+                        and self.switches["pusher"]
+                        and self.switches["interpolation"]
+                        and sp.pusher in ("boris", "boris+tbmt"))
+        use_slab_static = False
+        if cell_layout and fused_static and self.switches["migration"]:
+            from ..ops.cellslab import slab_supported
+            plan_static = tuple((nloc[i], specs[i], ("x", "y", "z")[i])
+                                for i in range(ndim))
+            use_slab_static = slab_supported(
+                plan_static, nloc, sp.tile_cap, self.switches, sp,
+                self.cell_migration, bool(qed), split)
+
         def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
             lead = alive.shape[:ndim]        # (1,) * ndim device axes
             if cell_layout:
@@ -290,12 +336,7 @@ class StepBuilder:
             # species and y/z-sharded meshes use the per-stage kernels.
             plan = tuple((nloc[i], specs[i], ("x", "y", "z")[i])
                          for i in range(ndim)) if cell_layout else None
-            use_slab = False
-            if cell_layout and fused and self.switches["migration"]:
-                from ..ops.cellslab import slab_supported
-                use_slab = slab_supported(
-                    plan, nloc, sp.tile_cap, self.switches, sp,
-                    self.cell_migration, bool(qed), split)
+            use_slab = use_slab_static       # hoisted static decision
 
             # position half push (reference stage _push_position_1).
             # The slab megakernel applies it in-kernel (v2) — skip the
@@ -341,7 +382,8 @@ class StepBuilder:
                 from ..ops.cellslab import slab_species_step
                 data, alive, cell_lost, jpad = slab_species_step(
                     eb_pad, data, alive, plan, q=sp.q, m=sp.m, dt=dt,
-                    deltas=(grid.dx, grid.dy, grid.dz)[:ndim], g=g)
+                    deltas=(grid.dx, grid.dy, grid.dz)[:ndim], g=g,
+                    fold=False)       # jpad = raw rim panels here
                 pos = tuple(data[c] for c in ("x", "y", "z")[:ndim])
                 ux, uy, uz = data["ux"], data["uy"], data["uz"]
                 ig = data["inv_gamma"]
@@ -621,16 +663,20 @@ class StepBuilder:
             if self._domain_mask is not None:
                 in_specs.append(self._p_field)
                 args.append(self._domain_mask)
+            pay_spec = self._p_rims if use_slab_static else self._p_stack
             fn = self._smap(
                 local, tuple(in_specs),
                 (ospec, self._p_part, self._p_field, self._p_field,
-                 self._p_stack),
+                 pay_spec),
             )
             data, alive, next_id, overflow, jpad = fn(*args)
             data = {**pstate.data, **data}
             return ParticlesState(data=data, alive=alive, next_id=next_id,
                                   overflow=overflow), jpad
 
+        # slab species return raw rim panels as the payload (fold once
+        # across species in seg_particles)
+        wrapper.returns_rims = use_slab_static
         return wrapper
 
     # ------------------------------------------------------------------
@@ -1156,6 +1202,7 @@ class StepBuilder:
         eb_pad = pad_eb(eb)
 
         jpad_total = None
+        rims_total = None
         new_parts: List[ParticlesState] = []
         for ispec in range(len(self.species)):
             if not self.switches["species_block"]:
@@ -1165,7 +1212,12 @@ class StepBuilder:
             kspec = jax.random.fold_in(key, ispec)
             pnew, jpad = block(eb_pad, particles[ispec], kspec)
             new_parts.append(pnew)
-            jpad_total = jpad if jpad_total is None else jpad_total + jpad
+            if getattr(block, "returns_rims", False):
+                rims_total = (jpad if rims_total is None
+                              else rims_total + jpad)
+            else:
+                jpad_total = (jpad if jpad_total is None
+                              else jpad_total + jpad)
 
         # QED particle creation into dead slots, after all species pushed
         # and deposited (reference simulation.py:1052-1065: deposition uses
@@ -1174,8 +1226,13 @@ class StepBuilder:
             for proc in self.qed_processes:
                 new_parts = self._apply_qed_creation(proc, new_parts)
 
+        jred = None
+        if rims_total is not None:
+            jred = self.make_fold_reduce()(rims_total)
         if jpad_total is not None:
-            jred = self.make_reduce_j()(jpad_total)
+            j2 = self.make_reduce_j()(jpad_total)
+            jred = j2 if jred is None else jred + j2
+        if jred is not None:
             f = f.replace(jx=jred[0], jy=jred[1], jz=jred[2], rho=jred[3])
         return state.replace(fields=f, particles=tuple(new_parts))
 

@@ -259,3 +259,48 @@ def test_slab_engages_in_simulation():
     finally:
         cellslab.slab_species_step = orig
         _ALL_SPECIES.clear()
+
+
+@pytest.mark.parametrize("dim,periodic,mesh_x", [
+    (2, True, 1), (2, False, 1), (2, True, 2), (2, False, 2),
+    (3, True, 2), (3, False, 2), (2, True, 4),
+])
+def test_fold_reduce_slab_matches_xla_pair(dim, periodic, mesh_x):
+    """fold_reduce_slab (one Pallas pass) == _fold_cfirst + halo_reduce
+    on random rim panels: same overlap-add, same cross-device x strips,
+    same periodic/open guard folds on every axis (reference
+    sync_currents, patch/sync_fields2d.c:77-84)."""
+    from lambdapic_tpu.ops.cellpallas import _fold_cfirst
+    from lambdapic_tpu.ops.cellslab import fold_reduce_slab, slab_bx
+
+    g = 2
+    nloc = (16, 12) if dim == 2 else (8, 8, 6)
+    b = slab_bx(nloc[0], dim)
+    nbx = nloc[0] // b
+    names = ("px", "py", "pz")[:dim]
+    mesh = Mesh(np.array(jax.devices()[:mesh_x]).reshape(
+        (mesh_x,) + (1,) * (dim - 1)), names)
+    specs = tuple(HaloSpec(nm, mesh_x if k == 0 else 1, periodic)
+                  for k, nm in enumerate(names))
+    pads = tuple(n + 2 * g for n in nloc[1:])
+    rng = np.random.default_rng(dim * 10 + mesh_x)
+    rims = jnp.asarray(rng.normal(
+        size=(mesh_x, 4, nbx, b + 4) + pads))
+    rspec = P("px", None, None, *([None] * dim))
+
+    def ref(r):
+        r = r[0]
+        jpad = _fold_cfirst(r, nloc[0], g, b)
+        return halo_reduce(jpad, g, tuple(range(1, 1 + dim)), specs)
+
+    def fast(r):
+        return fold_reduce_slab(r[0], nloc=nloc, g=g, spec0=specs[0],
+                                periodic=tuple(s.periodic for s in specs))
+
+    from lambdapic_tpu.parallel.halo import halo_reduce  # noqa: F811
+    ospec = P("px", *([None] * dim))
+    out_r, out_f = [np.asarray(jax.jit(shard_map(
+        f, mesh, in_specs=(rspec,),
+        out_specs=ospec))(rims)) for f in (ref, fast)]
+    np.testing.assert_allclose(out_f, out_r, rtol=1e-12,
+                               atol=1e-13 * np.abs(out_r).max())
