@@ -93,6 +93,9 @@ class SaveFieldsToHDF5(Callback):
     ALL_COMPONENTS = {"ex", "ey", "ez", "bx", "by", "bz",
                       "jx", "jy", "jz", "rho"}
     stage = "end"
+    # reads via sim.get_field, which recomputes rho on demand when the
+    # hot loop runs with deposit_rho off — never sees stale rho
+    rho_free = True
 
     def __init__(self, prefix: Union[str, Path] = "",
                  interval: Union[int, float, Callable] = 100,
@@ -138,6 +141,7 @@ class SaveSpeciesDensityToHDF5(Callback):
     """Save species-resolved number density (reference hdf5.py:402-613)."""
 
     stage = "current_deposition"
+    rho_free = True      # uses its own per-species deposit
 
     def __init__(self, species, prefix: Union[str, Path] = "",
                  interval: Union[int, float, Callable] = 100,
@@ -205,6 +209,7 @@ class SaveParticlesToHDF5(Callback):
     """Save particle dumps (reference hdf5.py:616-701)."""
 
     stage = "end"
+    rho_free = True
 
     def __init__(self, species, prefix: Union[str, Path] = "",
                  interval: Union[int, float, Callable] = 100,

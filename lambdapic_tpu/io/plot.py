@@ -36,6 +36,7 @@ class PlotFields(Callback):
     """
 
     stage = "end"
+    rho_free = True      # reads via sim.get_field (on-demand rho safe)
 
     def __init__(self, fields: List[Dict], prefix: Union[str, Path] = "",
                  interval: Union[int, float, Callable] = 100,

@@ -41,6 +41,9 @@ class RestartDump(Callback):
     """
 
     stage = "end"
+    # pickles whatever rho holds; a resumed run recomputes rho on
+    # demand in the same deposit_rho mode, so no reader sees stale rho
+    rho_free = True
 
     def __init__(self, out_dir: Union[str, Path] = "checkpoints",
                  interval: Union[int, float, Callable] = 1000,

@@ -52,6 +52,7 @@ class SetMomentum(Callback):
     """Set/add bulk momentum (reference callback/utils.py:842-891)."""
 
     stage = "init"
+    rho_free = True
 
     def __init__(self, species: Species, momentum: List[float],
                  interval=None, add: bool = False) -> None:
@@ -89,6 +90,7 @@ class SetTemperature(Callback):
     """
 
     stage = "init"
+    rho_free = True
 
     def __init__(self, species: Species,
                  temperature: Union[float, List[float]],
@@ -186,6 +188,7 @@ class SetMomentumAndTemperature(Callback):
     """Bulk momentum + thermal spread (reference utils.py:893-929)."""
 
     stage = "init"
+    rho_free = True
 
     def __init__(self, species: Species, momentum: List[float],
                  temperature: Union[float, List[float]],
@@ -207,6 +210,7 @@ class LoadParticles(Callback):
     (reference callback/utils.py:1051-1178)."""
 
     stage = "init"
+    rho_free = True
 
     def __init__(self, species: Species,
                  file: Optional[Union[str, Path]] = None,

@@ -28,6 +28,7 @@ from ..utils.logger import logger
 
 class MovingWindow(Callback):
     stage = "start"
+    rho_free = True      # rolls field arrays; never reads rho values
 
     def __init__(self, velocity: Union[float, Callable[[float], float]] = c,
                  start_time: Optional[float] = None,

@@ -107,9 +107,9 @@ def slab_bx(nx_loc: int, ndim: int) -> int:
 
 
 def slab_ok(nloc: Tuple[int, ...], cap: int) -> bool:
-    """VMEM feasibility: the gather+deposit phase holds ~65 (3D) /
-    ~45 (2D) live block-size arrays (x tap dictionaries + payload rows;
-    y/z taps are recomputed lazily) plus the field slab and the
+    """VMEM feasibility: the gather+deposit phase holds ~85 (3D) /
+    ~45 (2D) live block-size arrays (x AND z tap dictionaries + payload
+    rows; y taps are recomputed lazily) plus the field slab and the
     double-buffered in/out refs."""
     ndim = len(nloc)
     bx = slab_bx(nloc[0], ndim)
@@ -118,7 +118,7 @@ def slab_ok(nloc: Tuple[int, ...], cap: int) -> bool:
         trail *= n + 4
     blk = cap * bx * trail * 4
     slab = 6 * (bx + 4) * trail * 4
-    live = 65 if ndim == 3 else 45
+    live = 85 if ndim == 3 else 45
     refs = 26 * blk                      # in+out payloads, double-buffered
     budget = _env_int("LAMBDAPIC_SLAB_VMEM_MB", 100) * 1024 * 1024
     return live * blk + refs + 3 * slab <= budget
@@ -276,7 +276,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                       coords: Sequence[str], periodic: Sequence[bool],
                       q: float, m: float, dt: float,
                       deltas: Sequence[float], g: int,
-                      occ=None, sanitize: Sequence[int] = ()):
+                      occ=None, sanitize: Sequence[int] = (),
+                      rims_in=None, with_rho: bool = True):
     """Run half-push + migration(x,y[,z]) + gather + Boris + half push
     + deposit in one pallas kernel over x-slabs.
 
@@ -323,6 +324,12 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
         vol *= d
 
     n_arr = 2 + n_pay          # alive8, ig, payloads
+    has_rims_in = rims_in is not None
+    # rho is diagnostics-only (the Maxwell update consumes J alone;
+    # Esirkepov guarantees charge conservation without it) — when the
+    # caller recomputes rho on demand (Simulation.deposit_rho), the hot
+    # path deposits 3 components and skips the rho tap dictionaries
+    ncomp = 4 if with_rho else 3
 
     # eb_pad window refs per slab: 3D reads bx+4 single columns
     # (element-granular maps — x is an untiled dim there); 2D reads one
@@ -344,11 +351,14 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
         ch_refs = refs[2 + n_pay + n_arr:2 + n_pay + 2 * n_arr]
         el_refs = refs[2 + n_pay + 2 * n_arr:2 + n_pay + 3 * n_arr]
         eh_refs = refs[2 + n_pay + 3 * n_arr:2 + n_pay + 4 * n_arr]
-        out_a = refs[2 + n_pay + 4 * n_arr]
-        out_p = refs[3 + n_pay + 4 * n_arr:3 + 2 * n_pay + 4 * n_arr]
-        out_ig = refs[3 + 2 * n_pay + 4 * n_arr]
-        out_rims = refs[4 + 2 * n_pay + 4 * n_arr]
-        out_m = refs[5 + 2 * n_pay + 4 * n_arr]
+        o = 2 + n_pay + 4 * n_arr
+        rims_in_ref = refs[o] if has_rims_in else None
+        o += 1 if has_rims_in else 0
+        out_a = refs[o]
+        out_p = refs[o + 1:o + 1 + n_pay]
+        out_ig = refs[o + 1 + n_pay]
+        out_rims = refs[o + 2 + n_pay]
+        out_m = refs[o + 3 + n_pay]
         i = pl.program_id(0)
         is_first = i == 0
         is_last = i == nbx - 1
@@ -530,7 +540,10 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                     for k in range(ndim)]
 
             # ------------- Esirkepov deposit ----------------------------
-            out_rims[...] = jnp.zeros(out_rims.shape, dtype)
+            # seed the accumulator with the previous species' rims when
+            # chaining (saves the XLA rims_total add across species)
+            out_rims[...] = (rims_in_ref[...] if has_rims_in
+                             else jnp.zeros(out_rims.shape, dtype))
             v = [u4[k] * ig2 * cdt[k] for k in range(ndim)]
             dln = [posn[k] - iota[k] for k in range(ndim)]
 
@@ -567,8 +580,11 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                         jy_c = (ax_ * gy_run[oy]).sum(0)
                         jz_c = (cvz * (ax_ * by_t
                                        + dsx * dsy * (1.0 / 12.0))).sum(0)
-                        rho_c = (f_cd * s1x[ox] * s1y[oy]).sum(0)
-                        cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
+                        comps_c = [jx_c, jy_c, jz_c]
+                        if with_rho:
+                            comps_c.append(
+                                (f_cd * s1x[ox] * s1y[oy]).sum(0))
+                        cell = jnp.stack(comps_c)
                         cur = out_rims[:, 0, 2 + ox:2 + ox + bx,
                                        g + oy:g + oy + ny]
                         out_rims[:, 0, 2 + ox:2 + ox + bx,
@@ -578,10 +594,10 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 fd = [jnp.asarray(q / (vol / deltas[k]) / dt, dtype) * w
                       for k in range(3)]
 
-                # x taps persist across the offset loops; y/z taps are
-                # recomputed lazily per (oy, oz) — same expressions and
-                # accumulation order as the persistent form (bitwise
-                # identical), ~25 fewer live block arrays.
+                # x and z tap dictionaries persist across the offset
+                # loops; y taps are recomputed lazily per oy — same
+                # expressions and accumulation order as the fully
+                # persistent form (bitwise identical).
                 s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in _DOFF}
                 s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
                 dsx = {o: s1x[o] - s0x[o] for o in _DOFF}
@@ -598,6 +614,20 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 dy_, vy_ = dln[1], v[1]
                 dz_, vz_ = dln[2], v[2]
                 ny, nz = other
+                # z-tap dictionaries hoisted out of the oy loop: the
+                # values and the acc_z accumulation order are identical
+                # to the per-(oy, oz) recompute (bitwise), but each tap
+                # is built once instead of 5x — ~20 more live block
+                # arrays (slab_ok budgets for them) for ~16% fewer
+                # deposit-phase VPU ops.
+                z_taps = []
+                acc_z = jnp.zeros(shp, dtype)
+                for oz in _DOFF:
+                    s0z_h = _m2(oz - (dz_ - 0.5 * vz_))
+                    s1z_h = _m2(oz - (dz_ + 0.5 * vz_))
+                    dsz_h = s1z_h - s0z_h
+                    acc_z = acc_z + dsz_h
+                    z_taps.append((s0z_h, s1z_h, dsz_h, acc_z))
                 acc_y = jnp.zeros(shp, dtype)
                 for oy in _DOFF:
                     s0y = _m2(oy - (dy_ - 0.5 * vy_))
@@ -607,27 +637,24 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                     cy_ = 0.5 * s0y + dsy * (1.0 / 3.0)
                     acc_y = acc_y + dsy
                     runy = acc_y
-                    acc_z = jnp.zeros(shp, dtype)
-                    for oz in _DOFF:
-                        s0z = _m2(oz - (dz_ - 0.5 * vz_))
-                        s1z = _m2(oz - (dz_ + 0.5 * vz_))
-                        dsz = s1z - s0z
-                        acc_z = acc_z + dsz
-                        runz = acc_z
+                    for iz, oz in enumerate(_DOFF):
+                        s0z, s1z, dsz, runz = z_taps[iz]
                         pyz_jx = -(ay_ * s0z + cy_ * dsz) * fd[0]
                         pyz_jy = -(runy * s0z) * fd[1]
                         pyz_jy2 = -(runy * dsz) * fd[1]
                         pyz_jz = -(runz * s0y) * fd[2]
                         pyz_jz2 = -(runz * dsy) * fd[2]
-                        pyz_r = (s1y * s1z) * f_cd
+                        pyz_r = (s1y * s1z) * f_cd if with_rho else None
                         for ox in _DOFF:
                             jx_c = (runx[ox] * pyz_jx).sum(0)
                             jy_c = (ax_[ox] * pyz_jy
                                     + cx_[ox] * pyz_jy2).sum(0)
                             jz_c = (ax_[ox] * pyz_jz
                                     + cx_[ox] * pyz_jz2).sum(0)
-                            rho_c = (s1x[ox] * pyz_r).sum(0)
-                            cell = jnp.stack([jx_c, jy_c, jz_c, rho_c])
+                            comps_c = [jx_c, jy_c, jz_c]
+                            if with_rho:
+                                comps_c.append((s1x[ox] * pyz_r).sum(0))
+                            cell = jnp.stack(comps_c)
                             cur = out_rims[:, 0, 2 + ox:2 + ox + bx,
                                            g + oy:g + oy + ny,
                                            g + oz:g + oz + nz]
@@ -667,7 +694,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 out_p[p][...] = jnp.zeros(out_p[p].shape,
                                           out_p[p].dtype)
             out_ig[...] = jnp.ones(out_ig.shape, out_ig.dtype)
-            out_rims[...] = jnp.zeros(out_rims.shape, dtype)
+            out_rims[...] = (rims_in_ref[...] if has_rims_in
+                             else jnp.zeros(out_rims.shape, dtype))
             out_m[...] = jnp.where(is_first, 0, out_m[...])
 
     blk = (cap, bx) + tuple(other)
@@ -721,15 +749,16 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             for k in range(bx + 4)]
     # channel-first rims: the fold's flatten is then a pure reshape
     # (no (nb, C) -> (C, nb) relayout; see cellpallas._fold_cfirst)
-    rims_shape = (4, nbx, bx + 4) + opad
-    rspec = pl.BlockSpec((4, 1, bx + 4) + opad,
+    rims_shape = (ncomp, nbx, bx + 4) + opad
+    rspec = pl.BlockSpec((ncomp, 1, bx + 4) + opad,
                          lambda *a: (0, a[0], 0) + zeros)
     cnt_spec = pl.BlockSpec((8, 128), lambda *a: (0, 0))
 
     arrs = [alive8, ig] + [data[nm] for nm in names]
     in_specs = (ebspecs + [mspec, mspec] + [mspec] * n_pay
                 + [cspec_lo] * n_arr + [cspec_hi] * n_arr
-                + [espec] * n_arr + [espec] * n_arr)
+                + [espec] * n_arr + [espec] * n_arr
+                + ([rspec] if has_rims_in else []))
     out_specs = ([mspec] + [mspec] * n_pay + [mspec, rspec, cnt_spec])
     out_shape = ([jax.ShapeDtypeStruct(alive8.shape, jnp.uint8)]
                  + [jax.ShapeDtypeStruct(data[nm].shape, data[nm].dtype)
@@ -757,7 +786,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                 alive8, ig,
                                 *[data[nm] for nm in names],
                                 *arrs, *arrs,        # lo / hi columns
-                                *edges_lo, *edges_hi)
+                                *edges_lo, *edges_hi,
+                                *([rims_in] if has_rims_in else []))
     alive_out = outs[0]
     pays_out = list(outs[1:1 + n_pay])
     ig_out = outs[1 + n_pay]
@@ -773,7 +803,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
 def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                       plan, *, q: float, m: float, dt: float,
                       deltas: Sequence[float], g: int,
-                      skip_empty: bool | None = None, fold: bool = True):
+                      skip_empty: bool | None = None, fold: bool = True,
+                      rims_in=None, with_rho: bool = True):
     """The fused-path species stage on the slab megakernel. ``plan`` =
     ((nloc, HaloSpec, coord), ...) per cell axis, exactly as
     migrate_cells. ``data`` holds the STORED state (pre-push positions
@@ -863,7 +894,8 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
     alive_out, pays_out, ig_out, rims, n_lost = unified_cell_step(
         eb_pad, alive8, ig, data, edges_lo, edges_hi, names=names,
         merge_idx=merge_idx, coords=coords, periodic=periodic,
-        q=q, m=m, dt=dt, deltas=deltas, g=g, occ=occ, sanitize=sanitize)
+        q=q, m=m, dt=dt, deltas=deltas, g=g, occ=occ, sanitize=sanitize,
+        rims_in=rims_in, with_rho=with_rho)
 
     data = {**data, **dict(zip(names, pays_out))}
     data["inv_gamma"] = ig_out

@@ -61,6 +61,9 @@ class Callback:
 
     stage: str = DEFAULT_STAGE
     interval: Interval = 1
+    # provably does not read sim rho (deposit_rho="auto" skips the
+    # every-step rho deposit only when ALL callbacks set this)
+    rho_free: bool = False
 
     def __init__(self, interval: Interval = 1,
                  stage: Optional[str] = None) -> None:
@@ -165,6 +168,7 @@ class JaxCallback:
 
     is_jax_callback = True
     stage: str = "_laser"
+    rho_free = True          # lasers touch B fields only
 
     def host_scalars(self, sim) -> dict:
         return {}

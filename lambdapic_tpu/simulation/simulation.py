@@ -147,6 +147,16 @@ class Simulation:
     # Use "exact" for physics-validation runs (double precision, QED
     # population studies); "fast" for throughput.
     cell_migration: str = "fast"
+    # every-step rho deposit. The reference deposits jx,jy,jz,rho
+    # together (current/current_deposit.h) but only J feeds the Maxwell
+    # update — rho is diagnostics-only. "auto" (default) keeps the
+    # reference behavior unless EVERY registered callback declares
+    # itself rho-free (our callback classes do; plain user functions
+    # are conservatively assumed to read rho), in which case the hot
+    # loop deposits J only and get_field("rho") recomputes rho on
+    # demand from the current particle positions (identical up to fp
+    # association). True/False force either mode.
+    deposit_rho: object = "auto"
     # TPU extra: fuse up to N steps into one lax.scan dispatch when no host
     # callback is due (amortizes dispatch latency; costs one extra compile
     # per chunk size). "auto" (default) = CHUNK_SIZES[0] on accelerator
@@ -615,9 +625,11 @@ class Simulation:
             tile_cfg=tile_cfg, tile_backend=tile_backend,
             rebin_interval=self.rebin_interval,
             cell_layout=cell_layout,
-            cell_migration=self.cell_migration)
+            cell_migration=self.cell_migration,
+            with_rho=getattr(self, "_with_rho", True))
         self._builder = builder
         self._rho_fns = {}
+        self._total_rho_fn = False      # lazy (None = no charged species)
         self._multi_steps = {}
         self._sub_segs = {}
         self._full_step_nm = None
@@ -747,11 +759,14 @@ class Simulation:
         lasers = [cb for cb in callbacks
                   if getattr(cb, "is_jax_callback", False)]
         cbs = SimulationCallbacks(callbacks, self)
+        with_rho = self._resolve_deposit_rho(callbacks)
         # (re)build the stepper only when the traced-callback set changes —
         # rebuilding recompiles the whole step
         if getattr(self, "_active_lasers", None) != lasers or \
+                getattr(self, "_with_rho", None) != with_rho or \
                 not hasattr(self, "_full_step"):
             self._active_lasers = lasers
+            self._with_rho = with_rho
             self._build_stepper(lasers)
 
         nsteps_total = self._handle_nsteps(nsteps, sim_time)
@@ -1003,13 +1018,36 @@ class Simulation:
                         "overflow — increase particle_capacity_factor or "
                         "migration_buffer")
 
+    def _resolve_deposit_rho(self, callbacks) -> bool:
+        """Resolve the deposit_rho setting against the registered
+        callbacks: "auto" keeps the every-step rho deposit unless every
+        callback is provably rho-free (Callback.rho_free; plain user
+        functions can read sim.state.fields.rho, so they conservatively
+        keep it on)."""
+        v = self.deposit_rho
+        if v == "auto":
+            return not all(getattr(cb, "rho_free", False)
+                           for cb in callbacks)
+        return bool(v)
+
     # -- data access for callbacks/diagnostics -------------------------
     def get_field(self, name: str) -> np.ndarray:
         """Assembled global field array on host (reference
-        callback/utils.py get_fields)."""
+        callback/utils.py get_fields). When the hot loop runs with the
+        rho deposit off (deposit_rho), rho is recomputed on demand from
+        the current particle positions."""
         # drain the dispatch queue through the fast path before the host
         # read (raw reads against a deep queue serialize on the TPU relay)
         jax.block_until_ready(self.state)
+        if name == "rho" and not getattr(self, "_with_rho", True):
+            if getattr(self, "_total_rho_fn", False) is False:
+                if not hasattr(self, "_builder"):
+                    self._build_stepper([])
+                self._total_rho_fn = self._builder.make_total_rho()
+            if self._total_rho_fn is not None:
+                return dist.to_host(
+                    self._total_rho_fn(self.state.particles))
+            # photon-only runs: total charge density is identically 0
         return dist.to_host(getattr(self.state.fields, name))
 
     def set_field(self, name: str, value: np.ndarray):

@@ -92,7 +92,8 @@ class StepBuilder:
                  tile_backend: str = "xla",
                  rebin_interval: int = 1,
                  cell_layout: bool = False,
-                 cell_migration: str = "fast"):
+                 cell_migration: str = "fast",
+                 with_rho: bool = True):
         # tile-binned dense particle path (ops/tiled2d.py); None = the
         # reference-layout scatter/gather path
         self.tile_cfg = tile_cfg
@@ -110,6 +111,12 @@ class StepBuilder:
         self.cell_layout = cell_layout
         # "fast" overwrite-merge vs "exact" 3*cap concat-merge re-binning
         self.cell_migration = cell_migration
+        # deposit rho in the hot loop (reference current_deposit.h
+        # deposits jx,jy,jz,rho every step). False = the slab kernel
+        # deposits J only and Simulation recomputes rho on demand
+        # (get_field("rho") / diagnostics) — rho is never consumed by
+        # the field update itself.
+        self.with_rho = with_rho
         # runtime operator toggles (reference EnableMixin,
         # core/utils/enable_mixin.py:4-38): maxwell, pusher,
         # current_deposition, qed, collisions, interpolation
@@ -297,7 +304,12 @@ class StepBuilder:
                 plan_static, nloc, sp.tile_cap, self.switches, sp,
                 self.cell_migration, bool(qed), split)
 
-        def local(eb_pad, data, alive, next_id, overflow, key, *mask_args):
+        def local(eb_pad, data, alive, next_id, overflow, key, *extra):
+            # trailing positional extras: [domain_mask?] [rims_in?]
+            rims_in_loc = None
+            mask_args = list(extra)
+            if getattr(self, "_block_rims_in", False):
+                rims_in_loc = mask_args.pop()
             lead = alive.shape[:ndim]        # (1,) * ndim device axes
             if cell_layout:
                 shape = (sp.tile_cap,) + tuple(nloc)
@@ -383,7 +395,9 @@ class StepBuilder:
                 data, alive, cell_lost, jpad = slab_species_step(
                     eb_pad, data, alive, plan, q=sp.q, m=sp.m, dt=dt,
                     deltas=(grid.dx, grid.dy, grid.dz)[:ndim], g=g,
-                    fold=False)       # jpad = raw rim panels here
+                    fold=False,       # jpad = raw rim panels here
+                    rims_in=rims_in_loc,  # chain prev species' rims
+                    with_rho=self.with_rho)
                 pos = tuple(data[c] for c in ("x", "y", "z")[:ndim])
                 ux, uy, uz = data["ux"], data["uy"], data["uz"]
                 ig = data["inv_gamma"]
@@ -641,7 +655,7 @@ class StepBuilder:
 
         data_spec_tree = None  # filled per call; dict spec matches keys
 
-        def wrapper(eb_pad, pstate: ParticlesState, key):
+        def wrapper(eb_pad, pstate: ParticlesState, key, rims_in=None):
             transient = {"ex_part", "ey_part", "ez_part",
                          "bx_part", "by_part", "bz_part"}
             if qed or split:
@@ -663,6 +677,10 @@ class StepBuilder:
             if self._domain_mask is not None:
                 in_specs.append(self._p_field)
                 args.append(self._domain_mask)
+            self._block_rims_in = rims_in is not None
+            if rims_in is not None:
+                in_specs.append(self._p_rims)
+                args.append(rims_in)
             pay_spec = self._p_rims if use_slab_static else self._p_stack
             fn = self._smap(
                 local, tuple(in_specs),
@@ -719,6 +737,65 @@ class StepBuilder:
             return fn(pstate.data, pstate.alive)
 
         return jax.jit(wrapper), q
+
+    # ------------------------------------------------------------------
+    def make_total_rho(self) -> Callable:
+        """On-demand total charge density (interior layout, matching
+        fields.rho) summed over charged species. Used when the hot loop
+        skips the every-step rho deposit (Simulation.deposit_rho): the
+        reference deposits jx,jy,jz,rho together every step
+        (current/current_deposit.h), but only J feeds Maxwell — rho
+        equals a fresh S1 shape deposit at the current (post-step)
+        positions, so recomputing it at diagnostic time is identical up
+        to fp association."""
+        grid = self.grid
+        g = grid.n_guard
+        ndim = grid.dimension
+        specs = self.halo_specs
+        nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:ndim]
+        dt = self.dt
+        charged = [i for i, sp in enumerate(self.species)
+                   if sp.q != 0.0]
+
+        def local(*flat):
+            jtot = None
+            for k, ispec in enumerate(charged):
+                sp = self.species[ispec]
+                d = {kk: v.reshape(-1)
+                     for kk, v in flat[2 * k].items()}
+                al = flat[2 * k + 1].reshape(-1)
+                w = jnp.where(al, d["w"], 0.0)
+                if ndim == 2:
+                    j4 = deposit_2d(d["x"], d["y"], d["ux"], d["uy"],
+                                    d["uz"], d["inv_gamma"], w, q=sp.q,
+                                    dx=grid.dx, dy=grid.dy, dt=dt,
+                                    nx_loc=nloc[0], ny_loc=nloc[1], g=g)
+                else:
+                    j4 = deposit_3d(d["x"], d["y"], d["z"], d["ux"],
+                                    d["uy"], d["uz"], d["inv_gamma"], w,
+                                    q=sp.q, dx=grid.dx, dy=grid.dy,
+                                    dz=grid.dz, dt=dt, nx_loc=nloc[0],
+                                    ny_loc=nloc[1], nz_loc=nloc[2], g=g)
+                jpad = jnp.stack(j4, axis=0)
+                jtot = jpad if jtot is None else jtot + jpad
+            return halo_reduce(jtot, g, tuple(range(1, 1 + ndim)),
+                               specs)[3]
+
+        if not charged:
+            return None                # caller falls back to zeros
+
+        def wrapper(particles):
+            args: list = []
+            in_specs: list = []
+            for ispec in charged:
+                p = particles[ispec]
+                args += [p.data, p.alive]
+                in_specs += [{k: self._p_part for k in p.data},
+                             self._p_part]
+            fn = self._smap(local, tuple(in_specs), self._p_field)
+            return fn(*args)
+
+        return jax.jit(wrapper)
 
     # ------------------------------------------------------------------
     def _apply_collisions(self, parts: List[ParticlesState], key
@@ -1210,12 +1287,17 @@ class StepBuilder:
                 continue
             block = self.make_species_block(ispec, migrate=migrate)
             kspec = jax.random.fold_in(key, ispec)
-            pnew, jpad = block(eb_pad, particles[ispec], kspec)
-            new_parts.append(pnew)
             if getattr(block, "returns_rims", False):
-                rims_total = (jpad if rims_total is None
-                              else rims_total + jpad)
+                # chain the running rim panels through the slab kernel:
+                # it seeds its deposit accumulator with them, so the
+                # cross-species rims sum costs no separate XLA add
+                pnew, jpad = block(eb_pad, particles[ispec], kspec,
+                                   rims_in=rims_total)
+                new_parts.append(pnew)
+                rims_total = jpad
             else:
+                pnew, jpad = block(eb_pad, particles[ispec], kspec)
+                new_parts.append(pnew)
                 jpad_total = (jpad if jpad_total is None
                               else jpad_total + jpad)
 
@@ -1231,9 +1313,18 @@ class StepBuilder:
             jred = self.make_fold_reduce()(rims_total)
         if jpad_total is not None:
             j2 = self.make_reduce_j()(jpad_total)
-            jred = j2 if jred is None else jred + j2
+            if jred is None:
+                jred = j2
+            else:
+                # with_rho=False slab rims carry 3 components; scatter
+                # species still produce 4 — drop their rho too (rho is
+                # recomputed on demand in that mode)
+                jred = jred + j2[:jred.shape[0]]
         if jred is not None:
-            f = f.replace(jx=jred[0], jy=jred[1], jz=jred[2], rho=jred[3])
+            rep = dict(jx=jred[0], jy=jred[1], jz=jred[2])
+            if jred.shape[0] == 4:
+                rep["rho"] = jred[3]
+            f = f.replace(**rep)
         return state.replace(fields=f, particles=tuple(new_parts))
 
     def seg_particles_sub(self, state: SimulationState, scalars,
