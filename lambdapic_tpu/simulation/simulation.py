@@ -226,6 +226,10 @@ class Simulation:
         self._occ_fns: Dict[int, object] = {}
         self._overflow_seen: Dict[int, int] = {}
         self._occ_seen: Dict[int, int] = {}
+        # host-side particle losses (e.g. moving-window injection-buffer
+        # truncation) — folded into the overflow report so no loss path
+        # is silent (reference never loses particles: extend() grows)
+        self._host_lost: Dict[int, int] = {}
         self._window_offset = 0   # moving-window cells shifted (host int)
         logger.info("Simulation instance created")
 
@@ -1000,8 +1004,22 @@ class Simulation:
                     f"{old} -> {new_cap} (slot axis {axis})")
 
     # ------------------------------------------------------------------
+    def count_host_loss(self, ispec: int, n: int):
+        """Record host-side particle losses (injection-buffer truncation
+        etc.) so they surface in the overflow report alongside the
+        device-side counters."""
+        if n > 0:
+            self._host_lost[ispec] = self._host_lost.get(ispec, 0) + int(n)
+
     def _check_overflow(self):
         for ispec, p in enumerate(self.state.particles):
+            host = self._host_lost.get(ispec, 0)
+            if host > 0:
+                logger.warning(
+                    f"species {self.species[ispec].name}: {host} "
+                    "particles dropped host-side (injection-buffer "
+                    "truncation) — raise particle_capacity_factor or "
+                    "report if unexpected")
             ov = int(dist.to_host(p.overflow).sum())
             if ov > 0:
                 if self.tiling == "cell":

@@ -632,11 +632,27 @@ class StepBuilder:
             # masked-domain particle absorption (mask_simulation)
             if mask_args:
                 mask_loc = mask_args[0]
-                ix = jnp.clip(jnp.floor(data["x"] + 0.5).astype(jnp.int32),
-                              0, nloc[0] - 1)
-                iy = jnp.clip(jnp.floor(data["y"] + 0.5).astype(jnp.int32),
-                              0, nloc[1] - 1)
-                inside = mask_loc[ix, iy]
+                if cell_layout:
+                    # broadcast fast path: post-re-bin, a slot's home
+                    # cell IS its array position, so the per-particle
+                    # mask lookup is a rank-broadcast instead of a
+                    # gather (XLA TPU gathers run at ~1e8 elem/s). The
+                    # final half push can carry a particle <=0.5 cells
+                    # past its home bin, so absorption at a mask edge
+                    # lands one step later than the instantaneous-
+                    # position check — far finer than the reference,
+                    # which absorbs at whole-patch granularity
+                    # (_mask_simulation.py:14-102 simply never creates
+                    # patches outside the mask).
+                    inside = jnp.broadcast_to(mask_loc[None], alive.shape)
+                else:
+                    ix = jnp.clip(
+                        jnp.floor(data["x"] + 0.5).astype(jnp.int32),
+                        0, nloc[0] - 1)
+                    iy = jnp.clip(
+                        jnp.floor(data["y"] + 0.5).astype(jnp.int32),
+                        0, nloc[1] - 1)
+                    inside = mask_loc[ix, iy]
                 alive = alive & inside
                 data["w"] = jnp.where(alive, data["w"], 0.0)
 
