@@ -27,6 +27,23 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: a cold relay compile of the full 3D step
+# takes ~20 min wall; with the cache a repeat invocation (e.g. the
+# driver's end-of-round bench after a local tuning run) skips it.
+# Set LAMBDAPIC_NO_COMPILE_CACHE=1 to measure cold-compile behavior.
+if os.environ.get("LAMBDAPIC_NO_COMPILE_CACHE") != "1":
+    _cache_dir = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    # the container sitecustomize pre-imports jax, so the env vars alone
+    # can be too late — set through the config API as well
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def build(config, args):
     from lambdapic_tpu import (Electron, Photon, Proton, Simulation,
