@@ -188,7 +188,7 @@ class MovingWindow(Callback):
             n[dev] = total
         return {"vals": vals, "n": n}
 
-    def _rebin_injection(self, sim, inj, kb: int, ispec: int = -1):
+    def _rebin_injection(self, sim, inj, kb: int, ispec: int):
         """Tiled layout: bin the flat right-edge injection buffers by
         y-tile — the device-side insert (ops/tiled2d.py::insert_tiled)
         merges them into tile column ntx-1."""

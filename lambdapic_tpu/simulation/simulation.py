@@ -230,6 +230,7 @@ class Simulation:
         # truncation) — folded into the overflow report so no loss path
         # is silent (reference never loses particles: extend() grows)
         self._host_lost: Dict[int, int] = {}
+        self._loss_reported: Dict[tuple, int] = {}
         self._window_offset = 0   # moving-window cells shifted (host int)
         logger.info("Simulation instance created")
 
@@ -1012,29 +1013,34 @@ class Simulation:
             self._host_lost[ispec] = self._host_lost.get(ispec, 0) + int(n)
 
     def _check_overflow(self):
+        # Counters are cumulative across run() segments; warn only when a
+        # counter advances past the last-reported watermark so repeated
+        # run() calls don't re-announce old losses as new ones.
         for ispec, p in enumerate(self.state.particles):
             host = self._host_lost.get(ispec, 0)
-            if host > 0:
+            if host > self._loss_reported.get(("host", ispec), 0):
+                self._loss_reported[("host", ispec)] = host
                 logger.warning(
                     f"species {self.species[ispec].name}: {host} "
-                    "particles dropped host-side (injection-buffer "
-                    "truncation) — raise particle_capacity_factor or "
-                    "report if unexpected")
+                    "particles dropped host-side so far (cumulative; "
+                    "injection-buffer truncation) — raise "
+                    "particle_capacity_factor or report if unexpected")
             ov = int(dist.to_host(p.overflow).sum())
-            if ov > 0:
+            if ov > self._loss_reported.get(("dev", ispec), 0):
+                self._loss_reported[("dev", ispec)] = ov
                 if self.tiling == "cell":
                     logger.warning(
                         f"species {self.species[ispec].name}: {ov} "
-                        "particle merges from per-cell capacity pressure "
-                        "(charge/momentum conserved; raise "
-                        "particle_capacity_factor or keep recap_interval "
-                        "on to avoid merging)")
+                        "particle merges so far (cumulative) from per-cell "
+                        "capacity pressure (charge/momentum conserved; "
+                        "raise particle_capacity_factor or keep "
+                        "recap_interval on to avoid merging)")
                 else:
                     logger.warning(
                         f"species {self.species[ispec].name}: {ov} "
-                        "particles lost to migration-buffer/capacity "
-                        "overflow — increase particle_capacity_factor or "
-                        "migration_buffer")
+                        "particles lost so far (cumulative) to "
+                        "migration-buffer/capacity overflow — increase "
+                        "particle_capacity_factor or migration_buffer")
 
     def _resolve_deposit_rho(self, callbacks) -> bool:
         """Resolve the deposit_rho setting against the registered
