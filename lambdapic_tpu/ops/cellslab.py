@@ -555,112 +555,185 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 f_dy = jnp.asarray(q / (deltas[0] * dt), dtype) * w
                 vz_c = uz4 * ig2 * jnp.asarray(c_light, dtype)
                 cvz = f_cd * vz_c
-                s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in _DOFF}
+                # Support pruning, same exact identities as the 3D
+                # branch below: s0*[+-2] == 0 (post-migration position
+                # within +-0.5 of the cell) and the last prefix sum
+                # run*[+2] is analytically zero (sum(ds) = 0), so the
+                # ox/oy = +2 writes of jx/jy carry only fp residue.
+                S0F = _DOFF[1:-1]
+                RUNF = _DOFF[:-1]
+                s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in S0F}
                 s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
-                s0y = {o: _m2(o - (dln[1] - 0.5 * v[1])) for o in _DOFF}
+                s0y = {o: _m2(o - (dln[1] - 0.5 * v[1])) for o in S0F}
                 s1y = {o: _m2(o - (dln[1] + 0.5 * v[1])) for o in _DOFF}
+                dsx_d = {o: (s1x[o] - s0x[o] if o in s0x else s1x[o])
+                         for o in _DOFF}
+                dsy_d = {o: (s1y[o] - s0y[o] if o in s0y else s1y[o])
+                         for o in _DOFF}
                 fx_run = {}
-                acc = jnp.zeros(shp, dtype)
-                for o in _DOFF:
-                    acc = acc + (s1x[o] - s0x[o])
+                acc = None
+                for o in RUNF:
+                    acc = dsx_d[o] if acc is None else acc + dsx_d[o]
                     fx_run[o] = -f_dx * acc
                 gy_run = {}
-                acc = jnp.zeros(shp, dtype)
-                for o in _DOFF:
-                    acc = acc + (s1y[o] - s0y[o])
+                acc = None
+                for o in RUNF:
+                    acc = dsy_d[o] if acc is None else acc + dsy_d[o]
                     gy_run[o] = -f_dy * acc
                 ny = other[0]
+
+                def rmw2(comp, ox, oy, val):
+                    cur = out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                                   g + oy:g + oy + ny]
+                    out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                             g + oy:g + oy + ny] = cur + val
+
                 for ox in _DOFF:
-                    dsx = s1x[ox] - s0x[ox]
-                    ax_ = s0x[ox] + 0.5 * dsx
+                    dsx = dsx_d[ox]
+                    ax_ = s0x[ox] + 0.5 * dsx if ox in s0x else 0.5 * dsx
                     for oy in _DOFF:
-                        dsy = s1y[oy] - s0y[oy]
-                        by_t = s0y[oy] + 0.5 * dsy
-                        jx_c = (fx_run[ox] * by_t).sum(0)
-                        jy_c = (ax_ * gy_run[oy]).sum(0)
-                        jz_c = (cvz * (ax_ * by_t
-                                       + dsx * dsy * (1.0 / 12.0))).sum(0)
-                        comps_c = [jx_c, jy_c, jz_c]
+                        dsy = dsy_d[oy]
+                        by_t = (s0y[oy] + 0.5 * dsy if oy in s0y
+                                else 0.5 * dsy)
+                        if ox in RUNF:
+                            rmw2(0, ox, oy, (fx_run[ox] * by_t).sum(0))
+                        if oy in RUNF:
+                            rmw2(1, ox, oy, (ax_ * gy_run[oy]).sum(0))
+                        rmw2(2, ox, oy,
+                             (cvz * (ax_ * by_t
+                                     + dsx * dsy * (1.0 / 12.0))).sum(0))
                         if with_rho:
-                            comps_c.append(
-                                (f_cd * s1x[ox] * s1y[oy]).sum(0))
-                        cell = jnp.stack(comps_c)
-                        cur = out_rims[:, 0, 2 + ox:2 + ox + bx,
-                                       g + oy:g + oy + ny]
-                        out_rims[:, 0, 2 + ox:2 + ox + bx,
-                                 g + oy:g + oy + ny] = cur + cell
+                            rmw2(3, ox, oy,
+                                 (f_cd * s1x[ox] * s1y[oy]).sum(0))
             else:
                 f_cd = jnp.asarray(q / vol, dtype) * w
                 fd = [jnp.asarray(q / (vol / deltas[k]) / dt, dtype) * w
                       for k in range(3)]
 
-                # x and z tap dictionaries persist across the offset
-                # loops; y taps are recomputed lazily per oy — same
-                # expressions and accumulation order as the fully
-                # persistent form (bitwise identical).
-                s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in _DOFF}
+                # Support pruning (exact identities, value-preserving):
+                # (1) the S0 endpoint sits within +-0.5 of its cell
+                #     (migration just re-binned to the half-push
+                #     position), so s0*[+-2] == 0 exactly — terms
+                #     multiplied by them are dropped;
+                # (2) Esirkepov telescoping: sum(ds) = sum(S1) - sum(S0)
+                #     = 0, so the last prefix sum run*[+2] is
+                #     analytically zero and the ox/oy/oz = +2 current
+                #     writes of the respective component carry only the
+                #     fp summation residue (~1e-16 f64 / ~1e-7 f32,
+                #     below the 1e-6 charge-conservation target;
+                #     reference current_deposit.h:112-116 makes the same
+                #     |dcell|<=1 support assumption).
+                # Components therefore loop their own offset sets and
+                # write out_rims per component.
+                S0F = _DOFF[1:-1]                      # s0 support
+                RUNF = _DOFF[:-1]                      # run support
+                s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in S0F}
                 s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
-                dsx = {o: s1x[o] - s0x[o] for o in _DOFF}
-                ax_ = {o: s0x[o] + 0.5 * dsx[o] for o in _DOFF}
-                cx_ = {o: 0.5 * s0x[o] + dsx[o] * (1.0 / 3.0)
+                dsx = {o: (s1x[o] - s0x[o] if o in s0x else s1x[o])
+                       for o in _DOFF}
+                ax_ = {o: (s0x[o] + 0.5 * dsx[o] if o in s0x
+                           else 0.5 * dsx[o]) for o in _DOFF}
+                cx_ = {o: (0.5 * s0x[o] + dsx[o] * (1.0 / 3.0)
+                           if o in s0x else dsx[o] * (1.0 / 3.0))
                        for o in _DOFF}
                 runx = {}
-                acc = jnp.zeros(shp, dtype)
-                for o in _DOFF:
-                    acc = acc + dsx[o]
+                acc = None
+                for o in RUNF:
+                    acc = dsx[o] if acc is None else acc + dsx[o]
                     runx[o] = acc
                 del s0x, dsx, acc
 
                 dy_, vy_ = dln[1], v[1]
                 dz_, vz_ = dln[2], v[2]
                 ny, nz = other
-                # z-tap dictionaries hoisted out of the oy loop: the
-                # values and the acc_z accumulation order are identical
-                # to the per-(oy, oz) recompute (bitwise), but each tap
-                # is built once instead of 5x — ~20 more live block
-                # arrays (slab_ok budgets for them) for ~16% fewer
-                # deposit-phase VPU ops.
-                z_taps = []
-                acc_z = jnp.zeros(shp, dtype)
-                for oz in _DOFF:
-                    s0z_h = _m2(oz - (dz_ - 0.5 * vz_))
-                    s1z_h = _m2(oz - (dz_ + 0.5 * vz_))
-                    dsz_h = s1z_h - s0z_h
-                    acc_z = acc_z + dsz_h
-                    z_taps.append((s0z_h, s1z_h, dsz_h, acc_z))
-                acc_y = jnp.zeros(shp, dtype)
+
+                # z-tap dictionaries: hoisting them out of the oy loop
+                # saves ~16% of the deposit-phase VPU ops but keeps ~18
+                # block-size arrays live through the whole offset nest —
+                # at bx > 2 that liveness turns into register-allocator
+                # spill slots that blow the 128 MB VMEM budget (measured:
+                # 55 MB of spills at bx=4). The wider-slab configs
+                # therefore rebuild them per oy (same expressions and
+                # accumulation order — bitwise identical values).
+                def build_z():
+                    zt = {}
+                    acc_z = None
+                    for oz in _DOFF:
+                        s0z_h = (_m2(oz - (dz_ - 0.5 * vz_))
+                                 if oz in S0F else None)
+                        s1z_h = _m2(oz - (dz_ + 0.5 * vz_))
+                        dsz_h = (s1z_h - s0z_h if s0z_h is not None
+                                 else s1z_h)
+                        runz_h = None
+                        if oz in RUNF:
+                            acc_z = (dsz_h if acc_z is None
+                                     else acc_z + dsz_h)
+                            runz_h = acc_z
+                        zt[oz] = (s0z_h, s1z_h, dsz_h, runz_h)
+                    return zt
+
+                z_hoist = _env_int("LAMBDAPIC_SLAB_ZHOIST", 1 if bx <= 2
+                                   else 0)
+                z_taps = build_z() if z_hoist else None
+                acc_y = None
                 for oy in _DOFF:
-                    s0y = _m2(oy - (dy_ - 0.5 * vy_))
+                    s0y = _m2(oy - (dy_ - 0.5 * vy_)) if oy in S0F \
+                        else None
                     s1y = _m2(oy - (dy_ + 0.5 * vy_))
-                    dsy = s1y - s0y
-                    ay_ = s0y + 0.5 * dsy
-                    cy_ = 0.5 * s0y + dsy * (1.0 / 3.0)
-                    acc_y = acc_y + dsy
-                    runy = acc_y
-                    for iz, oz in enumerate(_DOFF):
-                        s0z, s1z, dsz, runz = z_taps[iz]
-                        pyz_jx = -(ay_ * s0z + cy_ * dsz) * fd[0]
-                        pyz_jy = -(runy * s0z) * fd[1]
-                        pyz_jy2 = -(runy * dsz) * fd[1]
-                        pyz_jz = -(runz * s0y) * fd[2]
-                        pyz_jz2 = -(runz * dsy) * fd[2]
+                    dsy = s1y - s0y if s0y is not None else s1y
+                    ay_ = s0y + 0.5 * dsy if s0y is not None \
+                        else 0.5 * dsy
+                    cy_ = (0.5 * s0y + dsy * (1.0 / 3.0)
+                           if s0y is not None else dsy * (1.0 / 3.0))
+                    runy = None
+                    if oy in RUNF:
+                        acc_y = dsy if acc_y is None else acc_y + dsy
+                        runy = acc_y
+                    zt = z_taps if z_hoist else build_z()
+                    for oz in _DOFF:
+                        s0z, s1z, dsz, runz = zt[oz]
+                        pyz_jx = (-(ay_ * s0z + cy_ * dsz) * fd[0]
+                                  if s0z is not None
+                                  else -(cy_ * dsz) * fd[0])
+                        pyz_jy = (-(runy * s0z) * fd[1]
+                                  if runy is not None and s0z is not None
+                                  else None)
+                        pyz_jy2 = (-(runy * dsz) * fd[1]
+                                   if runy is not None else None)
+                        pyz_jz = (-(runz * s0y) * fd[2]
+                                  if runz is not None and s0y is not None
+                                  else None)
+                        pyz_jz2 = (-(runz * dsy) * fd[2]
+                                   if runz is not None else None)
                         pyz_r = (s1y * s1z) * f_cd if with_rho else None
-                        for ox in _DOFF:
-                            jx_c = (runx[ox] * pyz_jx).sum(0)
-                            jy_c = (ax_[ox] * pyz_jy
-                                    + cx_[ox] * pyz_jy2).sum(0)
-                            jz_c = (ax_[ox] * pyz_jz
-                                    + cx_[ox] * pyz_jz2).sum(0)
-                            comps_c = [jx_c, jy_c, jz_c]
-                            if with_rho:
-                                comps_c.append((s1x[ox] * pyz_r).sum(0))
-                            cell = jnp.stack(comps_c)
-                            cur = out_rims[:, 0, 2 + ox:2 + ox + bx,
+
+                        def rmw(comp, ox, val):
+                            cur = out_rims[comp, 0, 2 + ox:2 + ox + bx,
                                            g + oy:g + oy + ny,
                                            g + oz:g + oz + nz]
-                            out_rims[:, 0, 2 + ox:2 + ox + bx,
+                            out_rims[comp, 0, 2 + ox:2 + ox + bx,
                                      g + oy:g + oy + ny,
-                                     g + oz:g + oz + nz] = cur + cell
+                                     g + oz:g + oz + nz] = cur + val
+
+                        for ox in RUNF:
+                            rmw(0, ox, (runx[ox] * pyz_jx).sum(0))
+                        if pyz_jy2 is not None:
+                            for ox in _DOFF:
+                                jy_c = (ax_[ox] * pyz_jy
+                                        + cx_[ox] * pyz_jy2
+                                        if pyz_jy is not None
+                                        else cx_[ox] * pyz_jy2)
+                                rmw(1, ox, jy_c.sum(0))
+                        if pyz_jz2 is not None:
+                            for ox in _DOFF:
+                                jz_c = (ax_[ox] * pyz_jz
+                                        + cx_[ox] * pyz_jz2
+                                        if pyz_jz is not None
+                                        else cx_[ox] * pyz_jz2)
+                                rmw(2, ox, jz_c.sum(0))
+                        if with_rho:
+                            for ox in _DOFF:
+                                rmw(3, ox, (s1x[ox] * pyz_r).sum(0))
 
             # ------------- outputs --------------------------------------
             out_a[...] = alive.astype(jnp.uint8)
