@@ -65,6 +65,11 @@ for plane in xspace.planes:
     for line in plane.lines:
         for ev in line.events:
             name = ev_meta[ev.metadata_id].name
+            # async copy-start/done spans cover whole-step intervals and
+            # double-count massively — drop them from the attribution
+            if name.startswith(("%copy-start", "%slice-start",
+                                "%copy-done", "%slice-done")):
+                continue
             dur = ev.duration_ps / 1e9   # ms
             agg = stats.setdefault(name, [0.0, 0])
             agg[0] += dur
@@ -72,5 +77,6 @@ for plane in xspace.planes:
     total = sum(v[0] for v in stats.values())
     print(f"\n== plane {plane.name}: {total / STEPS:.2f} ms/step device "
           f"busy (sum over lines; overlaps double-count)")
-    for name, (ms, n) in sorted(stats.items(), key=lambda kv: -kv[1][0])[:40]:
+    for name, (ms, n) in sorted(stats.items(),
+                                key=lambda kv: -kv[1][0])[:60]:
         print(f"  {ms / STEPS:8.3f} ms/step  x{n:4d}  {name[:110]}")

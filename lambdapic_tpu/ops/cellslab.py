@@ -129,6 +129,18 @@ def slab_enabled() -> bool:
     return os.environ.get("LAMBDAPIC_SLAB", "1") != "0"
 
 
+
+
+def _skips_enabled() -> bool:
+    """Frozen-region skipping switch (LAMBDAPIC_SLAB_SKIPS, default on):
+    per-block dynamic skips of the merge phase (no cell-crossers, no
+    strip arrivals) and of gather+Boris+deposit (all momenta exactly
+    zero and field window exactly zero — a causally untouched region).
+    Output-equivalent; off is an ablation/debug escape."""
+    import os
+    return os.environ.get("LAMBDAPIC_SLAB_SKIPS", "1") != "0"
+
+
 def _ablate() -> frozenset:
     """Timing-ablation knob (LAMBDAPIC_SLAB_ABLATE, comma-separated
     tokens ``merge``, ``gather``, ``deposit``): skips the named kernel
@@ -441,42 +453,100 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 ).astype(jnp.int32))
 
             # ------------- x pass (columns from neighbors) -------------
-            n_merged = jnp.zeros((), jnp.int32)
             abl = _ablate()
+
+            def write_state(al_rows, py, nm):
+                """Sanitize + write the post-migration state to the
+                output refs. ids/weights are final here; positions,
+                momenta and inv_gamma are pre-gather values that
+                particle_tail overwrites for active blocks (the refs
+                double as the hand-off buffer between the branched merge
+                phase and the tail — Mosaic legalizes side-effecting
+                scf.if regions only, not value-returning ones)."""
+                alive_c = jnp.concatenate(al_rows, axis=0)
+                out_a[...] = alive_c.astype(jnp.uint8)
+                for p in range(n_pay):
+                    b = jnp.concatenate(py[p], axis=0)
+                    if p in sanitize:
+                        b = jnp.where(alive_c, b, jnp.zeros_like(b))
+                    out_p[p][...] = b
+                prev = jnp.where(is_first, 0, out_m[...])
+                out_m[...] = prev + nm
+
             if "merge" not in abl:
                 skl, spl = strip_side(cl_refs, el_refs, is_first,
                                       i * bx - 1, -1, coff_lo)
                 skh, sph = strip_side(ch_refs, eh_refs, is_last,
                                       (i + 1) * bx, +1, 0)
-                alive_rows, pays, n_merged = _merge_axis(
-                    ces, 1, keys, pays, skl, spl, skh, sph,
-                    merge_idx, n_merged)
 
-                # ---------- y (and z) passes (in-block wrap) ------------
-                for ax in range(1, ndim):
-                    axis = 1 + ax
-                    pos_rows = pays[ci[ax]]
-                    keys = _keys_from_pos(pos_rows, alive_rows, axis)
-                    klo, khi = _wrap_cols(keys, axis,
-                                          invalid=not periodic[ax - 1])
-                    plo, phi = [], []
-                    for p in range(n_pay):
-                        adj = other[ax - 1] if p == ci[ax] else None
-                        lo, hi = _wrap_cols(pays[p], axis, coord_adj=adj)
-                        plo.append(lo)
-                        phi.append(hi)
-                    alive_rows, pays, n_merged = _merge_axis(
-                        ces, axis, keys, pays, klo, plo, khi, phi,
-                        merge_idx, n_merged)
+                def run_merge():
+                    al, py, nm = _merge_axis(
+                        ces, 1, keys, pays, skl, spl, skh, sph,
+                        merge_idx, jnp.zeros((), jnp.int32))
+                    # ------ y (and z) passes (in-block wrap) ------------
+                    for ax in range(1, ndim):
+                        axis = 1 + ax
+                        kk = _keys_from_pos(py[ci[ax]], al, axis)
+                        klo, khi = _wrap_cols(
+                            kk, axis, invalid=not periodic[ax - 1])
+                        plo, phi = [], []
+                        for p in range(n_pay):
+                            adj = other[ax - 1] if p == ci[ax] else None
+                            lo, hi = _wrap_cols(py[p], axis,
+                                                coord_adj=adj)
+                            plo.append(lo)
+                            phi.append(hi)
+                        al, py, nm = _merge_axis(
+                            ces, axis, kk, py, klo, plo, khi, phi,
+                            merge_idx, nm)
+                    return al, py, nm
 
-            # ------------- sanitize + assemble blocks ------------------
-            alive = jnp.concatenate(alive_rows, axis=0)
-            blocks = []
-            for p in range(n_pay):
-                b = jnp.concatenate(pays[p], axis=0)
-                if p in sanitize:
-                    b = jnp.where(alive, b, jnp.zeros_like(b))
-                blocks.append(b)
+                if not _skips_enabled():
+                    write_state(*run_merge())
+                else:
+                    # Frozen-merge skip: when no alive particle crosses a
+                    # cell face on ANY axis and neither x strip delivers
+                    # an arrival, all three passes reduce to the identity
+                    # (sorted-rows fixed point; physics-identical slot
+                    # permutation otherwise). Cold species — protons for
+                    # most of a laser-solid run, electrons ahead of the
+                    # wavefront — skip the whole merge phase. The
+                    # reference's mismatch-only sort (CHANGELOG.md:28,
+                    # sort/particle_sort.py) exploits the same inactivity
+                    # dynamically.
+                    mv = None
+                    for a in range(cap):
+                        m_ = (keys[a] == 0) | (keys[a] == 4)
+                        mv = m_ if mv is None else mv | m_
+                    for ax in range(1, ndim):
+                        axis = 1 + ax
+                        for a in range(cap):
+                            pr = pays[ci[ax]][a]
+                            idx = lax.broadcasted_iota(
+                                jnp.int32, pr.shape,
+                                axis).astype(pr.dtype)
+                            local = pr - idx
+                            m_ = alive_rows[a] & ((local >= 0.5)
+                                                  | (local < -0.5))
+                            mv = mv | m_
+                    arr = None
+                    for a in range(cap):
+                        s = (skl[a] == 0) | (skh[a] == 4)
+                        arr = s if arr is None else arr | s
+                    any_mv = jnp.any(mv) | jnp.any(arr)
+
+                    pl.when(any_mv)(lambda: write_state(*run_merge()))
+                    pl.when(jnp.logical_not(any_mv))(
+                        lambda: write_state(alive_rows, pays,
+                                            jnp.zeros((), jnp.int32)))
+            else:
+                write_state(alive_rows, pays, jnp.zeros((), jnp.int32))
+
+            # ---- re-read the post-migration state from the output refs
+            # (written by exactly one branch above); keeps the merge
+            # phase's values out of the tail's live set
+            alive = out_a[...] != 0
+            blocks = [out_p[p][...] for p in range(n_pay)]
 
             shp = (cap, bx) + tuple(other)
             pos = [blocks[c] for c in ci]
@@ -493,269 +563,281 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             dl = [pos[k] - iota[k] for k in range(ndim)]
 
             # ------------- gather + Boris + half push ------------------
+            # field window (6, bx+4, ...) assembled from the direct
+            # eb_pad refs (no pre-stacked ebwin array in HBM): 3D from
+            # bx+4 single columns, 2D from the bx-row main block + the
+            # first 4 rows of the 8-row tail block
             if "gather" in abl:
-                eb = [jnp.zeros(shp, dtype) for _ in range(6)]
+                ebw = None
+            elif ndim == 3:
+                ebw = jnp.concatenate([r[...] for r in ebc_refs], axis=1)
             else:
-                # field window (6, bx+4, ...) assembled from the direct
-                # eb_pad refs (no pre-stacked ebwin array in HBM): 3D
-                # from bx+4 single columns, 2D from the bx-row main
-                # block + the first 4 rows of the 8-row tail block
-                if ndim == 3:
-                    ebw = jnp.concatenate([r[...] for r in ebc_refs],
-                                          axis=1)
+                ebw = jnp.concatenate(
+                    [ebc_refs[0][...], ebc_refs[1][:, 0:4]], axis=1)
+
+            def rims_seed():
+                out_rims[...] = (rims_in_ref[...] if has_rims_in
+                                 else jnp.zeros(out_rims.shape, dtype))
+
+            def particle_tail():
+                if ebw is None:
+                    eb = [jnp.zeros(shp, dtype) for _ in range(6)]
                 else:
-                    ebw = jnp.concatenate(
-                        [ebc_refs[0][...], ebc_refs[1][:, 0:4]], axis=1)
-                taps = [{"g": {o: _m2(o - d) for o in _GOFF},
-                         "h": {o: _m2(o + 0.5 - d) for o in _HOFF}}
-                        for d in dl]
-                comps = _COMPS2 if ndim == 2 else _COMPS3
-                eb = []
-                for comp, *stag in comps:
-                    acc = jnp.zeros(shp, dtype)
-                    if ndim == 2:
-                        for oy, ty in taps[1][stag[1]].items():
-                            for ox, tx in taps[0][stag[0]].items():
-                                f = ebw[comp, g + ox:g + ox + bx,
-                                        g + oy:g + oy + other[0]]
-                                acc = acc + tx * ty * f[None]
-                    else:
-                        for oy, ty in taps[1][stag[1]].items():
-                            for oz, tz in taps[2][stag[2]].items():
-                                tyz = ty * tz
+                    taps = [{"g": {o: _m2(o - d) for o in _GOFF},
+                             "h": {o: _m2(o + 0.5 - d) for o in _HOFF}}
+                            for d in dl]
+                    comps = _COMPS2 if ndim == 2 else _COMPS3
+                    eb = []
+                    for comp, *stag in comps:
+                        acc = jnp.zeros(shp, dtype)
+                        if ndim == 2:
+                            for oy, ty in taps[1][stag[1]].items():
                                 for ox, tx in taps[0][stag[0]].items():
-                                    f = ebw[comp,
-                                            g + ox:g + ox + bx,
-                                            g + oy:g + oy + other[0],
-                                            g + oz:g + oz + other[1]]
-                                    acc = acc + tx * tyz * f[None]
-                    eb.append(acc)
-                del taps, ebw
+                                    f = ebw[comp, g + ox:g + ox + bx,
+                                            g + oy:g + oy + other[0]]
+                                    acc = acc + tx * ty * f[None]
+                        else:
+                            for oy, ty in taps[1][stag[1]].items():
+                                for oz, tz in taps[2][stag[2]].items():
+                                    tyz = ty * tz
+                                    for ox, tx in \
+                                            taps[0][stag[0]].items():
+                                        f = ebw[comp,
+                                                g + ox:g + ox + bx,
+                                                g + oy:g + oy + other[0],
+                                                g + oz:g + oz + other[1]]
+                                        acc = acc + tx * tyz * f[None]
+                        eb.append(acc)
 
-            ux4, uy4, uz4, ig2 = _boris(ux0, uy0, uz0, *eb, q, m, dt,
-                                        dtype)
-            del eb
-            u4 = (ux4, uy4, uz4)
-            posn = [pos[k] + (0.5 * cdt[k]) * u4[k] * ig2
-                    for k in range(ndim)]
+                ux4, uy4, uz4, ig2 = _boris(ux0, uy0, uz0, *eb, q, m,
+                                            dt, dtype)
+                u4 = (ux4, uy4, uz4)
+                posn = [pos[k] + (0.5 * cdt[k]) * u4[k] * ig2
+                        for k in range(ndim)]
+                for k in range(ndim):
+                    out_p[ci[k]][...] = posn[k]
+                for k in range(3):
+                    out_p[ui[k]][...] = u4[k]
+                out_ig[...] = ig2
 
-            # ------------- Esirkepov deposit ----------------------------
-            # seed the accumulator with the previous species' rims when
-            # chaining (saves the XLA rims_total add across species)
-            out_rims[...] = (rims_in_ref[...] if has_rims_in
-                             else jnp.zeros(out_rims.shape, dtype))
-            v = [u4[k] * ig2 * cdt[k] for k in range(ndim)]
-            dln = [posn[k] - iota[k] for k in range(ndim)]
+                # --------- Esirkepov deposit ----------------------------
+                # seed the accumulator with the previous species' rims
+                # when chaining (saves the XLA rims_total add across
+                # species)
+                rims_seed()
+                v = [u4[k] * ig2 * cdt[k] for k in range(ndim)]
+                dln = [posn[k] - iota[k] for k in range(ndim)]
 
-            if "deposit" in abl:
-                pass
-            elif ndim == 2:
-                f_cd = jnp.asarray(q / vol, dtype) * w
-                f_dx = jnp.asarray(q / (deltas[1] * dt), dtype) * w
-                f_dy = jnp.asarray(q / (deltas[0] * dt), dtype) * w
-                vz_c = uz4 * ig2 * jnp.asarray(c_light, dtype)
-                cvz = f_cd * vz_c
-                # Support pruning, same exact identities as the 3D
-                # branch below: s0*[+-2] == 0 (post-migration position
-                # within +-0.5 of the cell) and the last prefix sum
-                # run*[+2] is analytically zero (sum(ds) = 0), so the
-                # ox/oy = +2 writes of jx/jy carry only fp residue.
-                S0F = _DOFF[1:-1]
-                RUNF = _DOFF[:-1]
-                s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in S0F}
-                s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
-                s0y = {o: _m2(o - (dln[1] - 0.5 * v[1])) for o in S0F}
-                s1y = {o: _m2(o - (dln[1] + 0.5 * v[1])) for o in _DOFF}
-                dsx_d = {o: (s1x[o] - s0x[o] if o in s0x else s1x[o])
-                         for o in _DOFF}
-                dsy_d = {o: (s1y[o] - s0y[o] if o in s0y else s1y[o])
-                         for o in _DOFF}
-                fx_run = {}
-                acc = None
-                for o in RUNF:
-                    acc = dsx_d[o] if acc is None else acc + dsx_d[o]
-                    fx_run[o] = -f_dx * acc
-                gy_run = {}
-                acc = None
-                for o in RUNF:
-                    acc = dsy_d[o] if acc is None else acc + dsy_d[o]
-                    gy_run[o] = -f_dy * acc
-                ny = other[0]
+                if "deposit" in abl:
+                    pass
+                elif ndim == 2:
+                    f_cd = jnp.asarray(q / vol, dtype) * w
+                    f_dx = jnp.asarray(q / (deltas[1] * dt), dtype) * w
+                    f_dy = jnp.asarray(q / (deltas[0] * dt), dtype) * w
+                    vz_c = uz4 * ig2 * jnp.asarray(c_light, dtype)
+                    cvz = f_cd * vz_c
+                    # Support pruning, same exact identities as the 3D
+                    # branch below: s0*[+-2] == 0 (post-migration position
+                    # within +-0.5 of the cell) and the last prefix sum
+                    # run*[+2] is analytically zero (sum(ds) = 0), so the
+                    # ox/oy = +2 writes of jx/jy carry only fp residue.
+                    S0F = _DOFF[1:-1]
+                    RUNF = _DOFF[:-1]
+                    s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in S0F}
+                    s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
+                    s0y = {o: _m2(o - (dln[1] - 0.5 * v[1])) for o in S0F}
+                    s1y = {o: _m2(o - (dln[1] + 0.5 * v[1])) for o in _DOFF}
+                    dsx_d = {o: (s1x[o] - s0x[o] if o in s0x else s1x[o])
+                             for o in _DOFF}
+                    dsy_d = {o: (s1y[o] - s0y[o] if o in s0y else s1y[o])
+                             for o in _DOFF}
+                    fx_run = {}
+                    acc = None
+                    for o in RUNF:
+                        acc = dsx_d[o] if acc is None else acc + dsx_d[o]
+                        fx_run[o] = -f_dx * acc
+                    gy_run = {}
+                    acc = None
+                    for o in RUNF:
+                        acc = dsy_d[o] if acc is None else acc + dsy_d[o]
+                        gy_run[o] = -f_dy * acc
+                    ny = other[0]
 
-                def rmw2(comp, ox, oy, val):
-                    cur = out_rims[comp, 0, 2 + ox:2 + ox + bx,
-                                   g + oy:g + oy + ny]
-                    out_rims[comp, 0, 2 + ox:2 + ox + bx,
-                             g + oy:g + oy + ny] = cur + val
+                    def rmw2(comp, ox, oy, val):
+                        cur = out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                                       g + oy:g + oy + ny]
+                        out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                                 g + oy:g + oy + ny] = cur + val
 
-                for ox in _DOFF:
-                    dsx = dsx_d[ox]
-                    ax_ = s0x[ox] + 0.5 * dsx if ox in s0x else 0.5 * dsx
-                    for oy in _DOFF:
-                        dsy = dsy_d[oy]
-                        by_t = (s0y[oy] + 0.5 * dsy if oy in s0y
-                                else 0.5 * dsy)
-                        if ox in RUNF:
-                            rmw2(0, ox, oy, (fx_run[ox] * by_t).sum(0))
-                        if oy in RUNF:
-                            rmw2(1, ox, oy, (ax_ * gy_run[oy]).sum(0))
-                        rmw2(2, ox, oy,
-                             (cvz * (ax_ * by_t
-                                     + dsx * dsy * (1.0 / 12.0))).sum(0))
-                        if with_rho:
-                            rmw2(3, ox, oy,
-                                 (f_cd * s1x[ox] * s1y[oy]).sum(0))
-            else:
-                f_cd = jnp.asarray(q / vol, dtype) * w
-                fd = [jnp.asarray(q / (vol / deltas[k]) / dt, dtype) * w
-                      for k in range(3)]
-
-                # Support pruning (exact identities, value-preserving):
-                # (1) the S0 endpoint sits within +-0.5 of its cell
-                #     (migration just re-binned to the half-push
-                #     position), so s0*[+-2] == 0 exactly — terms
-                #     multiplied by them are dropped;
-                # (2) Esirkepov telescoping: sum(ds) = sum(S1) - sum(S0)
-                #     = 0, so the last prefix sum run*[+2] is
-                #     analytically zero and the ox/oy/oz = +2 current
-                #     writes of the respective component carry only the
-                #     fp summation residue (~1e-16 f64 / ~1e-7 f32,
-                #     below the 1e-6 charge-conservation target;
-                #     reference current_deposit.h:112-116 makes the same
-                #     |dcell|<=1 support assumption).
-                # Components therefore loop their own offset sets and
-                # write out_rims per component.
-                S0F = _DOFF[1:-1]                      # s0 support
-                RUNF = _DOFF[:-1]                      # run support
-                s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in S0F}
-                s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
-                dsx = {o: (s1x[o] - s0x[o] if o in s0x else s1x[o])
-                       for o in _DOFF}
-                ax_ = {o: (s0x[o] + 0.5 * dsx[o] if o in s0x
-                           else 0.5 * dsx[o]) for o in _DOFF}
-                cx_ = {o: (0.5 * s0x[o] + dsx[o] * (1.0 / 3.0)
-                           if o in s0x else dsx[o] * (1.0 / 3.0))
-                       for o in _DOFF}
-                runx = {}
-                acc = None
-                for o in RUNF:
-                    acc = dsx[o] if acc is None else acc + dsx[o]
-                    runx[o] = acc
-                del s0x, dsx, acc
-
-                dy_, vy_ = dln[1], v[1]
-                dz_, vz_ = dln[2], v[2]
-                ny, nz = other
-
-                # z-tap dictionaries: hoisting them out of the oy loop
-                # saves ~16% of the deposit-phase VPU ops but keeps ~18
-                # block-size arrays live through the whole offset nest —
-                # at bx > 2 that liveness turns into register-allocator
-                # spill slots that blow the 128 MB VMEM budget (measured:
-                # 55 MB of spills at bx=4). The wider-slab configs
-                # therefore rebuild them per oy (same expressions and
-                # accumulation order — bitwise identical values).
-                def build_z():
-                    zt = {}
-                    acc_z = None
-                    for oz in _DOFF:
-                        s0z_h = (_m2(oz - (dz_ - 0.5 * vz_))
-                                 if oz in S0F else None)
-                        s1z_h = _m2(oz - (dz_ + 0.5 * vz_))
-                        dsz_h = (s1z_h - s0z_h if s0z_h is not None
-                                 else s1z_h)
-                        runz_h = None
-                        if oz in RUNF:
-                            acc_z = (dsz_h if acc_z is None
-                                     else acc_z + dsz_h)
-                            runz_h = acc_z
-                        zt[oz] = (s0z_h, s1z_h, dsz_h, runz_h)
-                    return zt
-
-                z_hoist = _env_int("LAMBDAPIC_SLAB_ZHOIST", 1 if bx <= 2
-                                   else 0)
-                z_taps = build_z() if z_hoist else None
-                acc_y = None
-                for oy in _DOFF:
-                    s0y = _m2(oy - (dy_ - 0.5 * vy_)) if oy in S0F \
-                        else None
-                    s1y = _m2(oy - (dy_ + 0.5 * vy_))
-                    dsy = s1y - s0y if s0y is not None else s1y
-                    ay_ = s0y + 0.5 * dsy if s0y is not None \
-                        else 0.5 * dsy
-                    cy_ = (0.5 * s0y + dsy * (1.0 / 3.0)
-                           if s0y is not None else dsy * (1.0 / 3.0))
-                    runy = None
-                    if oy in RUNF:
-                        acc_y = dsy if acc_y is None else acc_y + dsy
-                        runy = acc_y
-                    zt = z_taps if z_hoist else build_z()
-                    for oz in _DOFF:
-                        s0z, s1z, dsz, runz = zt[oz]
-                        pyz_jx = (-(ay_ * s0z + cy_ * dsz) * fd[0]
-                                  if s0z is not None
-                                  else -(cy_ * dsz) * fd[0])
-                        pyz_jy = (-(runy * s0z) * fd[1]
-                                  if runy is not None and s0z is not None
-                                  else None)
-                        pyz_jy2 = (-(runy * dsz) * fd[1]
-                                   if runy is not None else None)
-                        pyz_jz = (-(runz * s0y) * fd[2]
-                                  if runz is not None and s0y is not None
-                                  else None)
-                        pyz_jz2 = (-(runz * dsy) * fd[2]
-                                   if runz is not None else None)
-                        pyz_r = (s1y * s1z) * f_cd if with_rho else None
-
-                        def rmw(comp, ox, val):
-                            cur = out_rims[comp, 0, 2 + ox:2 + ox + bx,
-                                           g + oy:g + oy + ny,
-                                           g + oz:g + oz + nz]
-                            out_rims[comp, 0, 2 + ox:2 + ox + bx,
-                                     g + oy:g + oy + ny,
-                                     g + oz:g + oz + nz] = cur + val
-
-                        for ox in RUNF:
-                            rmw(0, ox, (runx[ox] * pyz_jx).sum(0))
-                        if pyz_jy2 is not None:
-                            for ox in _DOFF:
-                                jy_c = (ax_[ox] * pyz_jy
-                                        + cx_[ox] * pyz_jy2
-                                        if pyz_jy is not None
-                                        else cx_[ox] * pyz_jy2)
-                                rmw(1, ox, jy_c.sum(0))
-                        if pyz_jz2 is not None:
-                            for ox in _DOFF:
-                                jz_c = (ax_[ox] * pyz_jz
-                                        + cx_[ox] * pyz_jz2
-                                        if pyz_jz is not None
-                                        else cx_[ox] * pyz_jz2)
-                                rmw(2, ox, jz_c.sum(0))
-                        if with_rho:
-                            for ox in _DOFF:
-                                rmw(3, ox, (s1x[ox] * pyz_r).sum(0))
-
-            # ------------- outputs --------------------------------------
-            out_a[...] = alive.astype(jnp.uint8)
-            for p in range(n_pay):
-                if p == ci[0]:
-                    val = posn[0]
-                elif ndim > 1 and p == ci[1]:
-                    val = posn[1]
-                elif ndim > 2 and p == ci[2]:
-                    val = posn[2]
-                elif p == ui[0]:
-                    val = ux4
-                elif p == ui[1]:
-                    val = uy4
-                elif p == ui[2]:
-                    val = uz4
+                    for ox in _DOFF:
+                        dsx = dsx_d[ox]
+                        ax_ = s0x[ox] + 0.5 * dsx if ox in s0x else 0.5 * dsx
+                        for oy in _DOFF:
+                            dsy = dsy_d[oy]
+                            by_t = (s0y[oy] + 0.5 * dsy if oy in s0y
+                                    else 0.5 * dsy)
+                            if ox in RUNF:
+                                rmw2(0, ox, oy, (fx_run[ox] * by_t).sum(0))
+                            if oy in RUNF:
+                                rmw2(1, ox, oy, (ax_ * gy_run[oy]).sum(0))
+                            rmw2(2, ox, oy,
+                                 (cvz * (ax_ * by_t
+                                         + dsx * dsy * (1.0 / 12.0))).sum(0))
+                            if with_rho:
+                                rmw2(3, ox, oy,
+                                     (f_cd * s1x[ox] * s1y[oy]).sum(0))
                 else:
-                    val = blocks[p]
-                out_p[p][...] = val
-            out_ig[...] = ig2
-            prev = jnp.where(is_first, 0, out_m[...])
-            out_m[...] = prev + n_merged
+                    f_cd = jnp.asarray(q / vol, dtype) * w
+                    fd = [jnp.asarray(q / (vol / deltas[k]) / dt, dtype) * w
+                          for k in range(3)]
+
+                    # Support pruning (exact identities, value-preserving):
+                    # (1) the S0 endpoint sits within +-0.5 of its cell
+                    #     (migration just re-binned to the half-push
+                    #     position), so s0*[+-2] == 0 exactly — terms
+                    #     multiplied by them are dropped;
+                    # (2) Esirkepov telescoping: sum(ds) = sum(S1) - sum(S0)
+                    #     = 0, so the last prefix sum run*[+2] is
+                    #     analytically zero and the ox/oy/oz = +2 current
+                    #     writes of the respective component carry only the
+                    #     fp summation residue (~1e-16 f64 / ~1e-7 f32,
+                    #     below the 1e-6 charge-conservation target;
+                    #     reference current_deposit.h:112-116 makes the same
+                    #     |dcell|<=1 support assumption).
+                    # Components therefore loop their own offset sets and
+                    # write out_rims per component.
+                    S0F = _DOFF[1:-1]                      # s0 support
+                    RUNF = _DOFF[:-1]                      # run support
+                    s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in S0F}
+                    s1x = {o: _m2(o - (dln[0] + 0.5 * v[0])) for o in _DOFF}
+                    dsx = {o: (s1x[o] - s0x[o] if o in s0x else s1x[o])
+                           for o in _DOFF}
+                    ax_ = {o: (s0x[o] + 0.5 * dsx[o] if o in s0x
+                               else 0.5 * dsx[o]) for o in _DOFF}
+                    cx_ = {o: (0.5 * s0x[o] + dsx[o] * (1.0 / 3.0)
+                               if o in s0x else dsx[o] * (1.0 / 3.0))
+                           for o in _DOFF}
+                    runx = {}
+                    acc = None
+                    for o in RUNF:
+                        acc = dsx[o] if acc is None else acc + dsx[o]
+                        runx[o] = acc
+                    del s0x, dsx, acc
+
+                    dy_, vy_ = dln[1], v[1]
+                    dz_, vz_ = dln[2], v[2]
+                    ny, nz = other
+
+                    # z-tap dictionaries: hoisting them out of the oy loop
+                    # saves ~16% of the deposit-phase VPU ops but keeps ~18
+                    # block-size arrays live through the whole offset nest —
+                    # at bx > 2 that liveness turns into register-allocator
+                    # spill slots that blow the 128 MB VMEM budget (measured:
+                    # 55 MB of spills at bx=4). The wider-slab configs
+                    # therefore rebuild them per oy (same expressions and
+                    # accumulation order — bitwise identical values).
+                    def build_z():
+                        zt = {}
+                        acc_z = None
+                        for oz in _DOFF:
+                            s0z_h = (_m2(oz - (dz_ - 0.5 * vz_))
+                                     if oz in S0F else None)
+                            s1z_h = _m2(oz - (dz_ + 0.5 * vz_))
+                            dsz_h = (s1z_h - s0z_h if s0z_h is not None
+                                     else s1z_h)
+                            runz_h = None
+                            if oz in RUNF:
+                                acc_z = (dsz_h if acc_z is None
+                                         else acc_z + dsz_h)
+                                runz_h = acc_z
+                            zt[oz] = (s0z_h, s1z_h, dsz_h, runz_h)
+                        return zt
+
+                    z_hoist = _env_int("LAMBDAPIC_SLAB_ZHOIST", 1 if bx <= 2
+                                       else 0)
+                    z_taps = build_z() if z_hoist else None
+                    acc_y = None
+                    for oy in _DOFF:
+                        s0y = _m2(oy - (dy_ - 0.5 * vy_)) if oy in S0F \
+                            else None
+                        s1y = _m2(oy - (dy_ + 0.5 * vy_))
+                        dsy = s1y - s0y if s0y is not None else s1y
+                        ay_ = s0y + 0.5 * dsy if s0y is not None \
+                            else 0.5 * dsy
+                        cy_ = (0.5 * s0y + dsy * (1.0 / 3.0)
+                               if s0y is not None else dsy * (1.0 / 3.0))
+                        runy = None
+                        if oy in RUNF:
+                            acc_y = dsy if acc_y is None else acc_y + dsy
+                            runy = acc_y
+                        zt = z_taps if z_hoist else build_z()
+                        for oz in _DOFF:
+                            s0z, s1z, dsz, runz = zt[oz]
+                            pyz_jx = (-(ay_ * s0z + cy_ * dsz) * fd[0]
+                                      if s0z is not None
+                                      else -(cy_ * dsz) * fd[0])
+                            pyz_jy = (-(runy * s0z) * fd[1]
+                                      if runy is not None and s0z is not None
+                                      else None)
+                            pyz_jy2 = (-(runy * dsz) * fd[1]
+                                       if runy is not None else None)
+                            pyz_jz = (-(runz * s0y) * fd[2]
+                                      if runz is not None and s0y is not None
+                                      else None)
+                            pyz_jz2 = (-(runz * dsy) * fd[2]
+                                       if runz is not None else None)
+                            pyz_r = (s1y * s1z) * f_cd if with_rho else None
+
+                            def rmw(comp, ox, val):
+                                cur = out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                                               g + oy:g + oy + ny,
+                                               g + oz:g + oz + nz]
+                                out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                                         g + oy:g + oy + ny,
+                                         g + oz:g + oz + nz] = cur + val
+
+                            for ox in RUNF:
+                                rmw(0, ox, (runx[ox] * pyz_jx).sum(0))
+                            if pyz_jy2 is not None:
+                                for ox in _DOFF:
+                                    jy_c = (ax_[ox] * pyz_jy
+                                            + cx_[ox] * pyz_jy2
+                                            if pyz_jy is not None
+                                            else cx_[ox] * pyz_jy2)
+                                    rmw(1, ox, jy_c.sum(0))
+                            if pyz_jz2 is not None:
+                                for ox in _DOFF:
+                                    jz_c = (ax_[ox] * pyz_jz
+                                            + cx_[ox] * pyz_jz2
+                                            if pyz_jz is not None
+                                            else cx_[ox] * pyz_jz2)
+                                    rmw(2, ox, jz_c.sum(0))
+                            if with_rho:
+                                for ox in _DOFF:
+                                    rmw(3, ox, (s1x[ox] * pyz_r).sum(0))
+
+            frozen_ok = (_skips_enabled() and not abl and not with_rho
+                         and ebw is not None)
+            if not frozen_ok:
+                particle_tail()
+            else:
+                # Frozen-region skip: all alive momenta exactly zero AND
+                # the field window exactly zero (a causally untouched
+                # region — the Yee update propagates exact zeros) =>
+                # Boris is a no-op (ig = 1), positions are unchanged,
+                # and every Esirkepov ds vanishes, so the particle tail
+                # is an exact identity with zero current contribution.
+                act = ((ux0 != 0).any() | (uy0 != 0).any()
+                       | (uz0 != 0).any() | (ebw != 0).any())
+                pl.when(act)(particle_tail)
+
+                @pl.when(jnp.logical_not(act))
+                def _frozen():
+                    # positions/momenta already hold the identity values
+                    # (write_state); only ig (Boris recomputes 1.0 at
+                    # u = 0) and the rim seed remain
+                    out_ig[...] = jnp.ones(out_ig.shape, out_ig.dtype)
+                    rims_seed()
 
         on = occ_ref[i] != 0
         pl.when(on)(compute)
