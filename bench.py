@@ -286,7 +286,7 @@ def record_mode(args):
     # phase 1: quick 2D laser-target — a fast-compiling fallback record
     a1 = argparse.Namespace(**vars(args))
     a1.config = "laser-target"
-    a1.steps, a1.warmup, a1.chunk, a1.best_of = 100, 6, "1", 1
+    a1.steps, a1.warmup, a1.chunk, a1.best_of = 96, 6, "auto", 1
     try:
         holder["r"] = measure(a1)
     except Exception as e:
@@ -294,11 +294,12 @@ def record_mode(args):
     gc.collect()
 
     # phase 2: the 3D headline config (BASELINE.json north star).
-    # chunk=1 -> exactly one step-kernel compile; best-of-2 windows.
+    # auto chunking resolves to per-step dispatch in 3D -> exactly one
+    # step-kernel compile; best-of-2 windows.
     if time.time() < deadline - 60:
         a2 = argparse.Namespace(**vars(args))
         a2.config = "laser-target-3d"
-        a2.chunk, a2.best_of = "1", 2
+        a2.chunk, a2.best_of = "auto", 2
         try:
             holder["r"] = measure(a2)
         except Exception as e:

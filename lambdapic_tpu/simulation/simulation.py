@@ -642,7 +642,12 @@ class Simulation:
             builder.compile()
 
     def _scalars(self, lasers) -> dict:
-        sc = {"key": jax.random.fold_in(self._base_key, self.itime)}
+        # the per-step key fold rides INSIDE the jitted step
+        # (step.py seg_particles folds base_key with "itime"): folding
+        # here dispatched two extra tiny device programs per step, and
+        # each relay round trip costs ~2 ms — a measured ~6 ms/step of
+        # dispatch gap at the 3D bench shape (device time 8.7 ms)
+        sc = {"key": self._base_key, "itime": np.uint32(self.itime)}
         for i, laser in enumerate(lasers):
             sc[f"laser{i}"] = laser.host_scalars(self)
         return sc
@@ -652,14 +657,19 @@ class Simulation:
 
     def _chunk_limit(self) -> int:
         """Resolve step_chunk: "auto" fuses up to CHUNK_SIZES[0] steps per
-        dispatch on accelerator backends (the vacuum/LWFA configs are
-        host-dispatch bound otherwise) and stays per-step on CPU, where
-        dispatch is cheap and scan compiles are not."""
+        dispatch on accelerator backends for 2D runs (the sub-10-ms 2D /
+        vacuum / LWFA steps are host-dispatch bound otherwise: 506 ->
+        907 Mpush/s on the 2D bench) and stays per-step in 3D, where the
+        scan's per-iteration carry copies of the ~GB particle state cost
+        more than the dispatch they save (435 -> 334 Mpush/s measured).
+        CPU stays per-step: dispatch is cheap and scan compiles are not."""
         v = self.step_chunk
         if v == "auto":
             import jax as _jax
+            if _jax.default_backend() == "cpu":
+                return 1
             return self.CHUNK_SIZES[0] \
-                if _jax.default_backend() != "cpu" else 1
+                if self.grid.dimension == 2 else 1
         if not isinstance(v, int) or isinstance(v, bool) or v < 1:
             raise ValueError(
                 f"step_chunk must be 'auto' or an int >= 1, got {v!r}")

@@ -69,17 +69,22 @@ class SpeciesStatic:
 def donation_argnums() -> tuple:
     """Buffer donation for the step functions (in-place state reuse).
 
-    Donation is faster everywhere measured (relay included: 2D bench 180
-    vs 98 Mpush/s without). Caveat for ablations: arrays that pass
-    through a donated jit UNCHANGED appear to get defensive copies on
-    the axon relay, so switch-based timing ablations overcount disabled
-    stages. Override with LAMBDAPIC_DONATE=0 to measure that effect.
+    Default OFF since round 3: the slab megakernel passes every payload
+    array as three operands (main blocks + lo/hi neighbor-column refs),
+    and with donated in-place buffers XLA inserts defensive full-array
+    copies to keep the duplicate reads valid — a measured ~1.5 ms/step
+    of %copy ops at the 3D bench shape (380 -> 437 Mpush/s when
+    disabled). Round 1, before the slab kernel, donation measured
+    FASTER (2D bench 180 vs 98 Mpush/s) — re-evaluate if the operand
+    structure changes. Peak HBM roughly doubles for the particle state
+    without donation; override with LAMBDAPIC_DONATE=1 when memory
+    headroom matters more than step time.
     """
     import os
     v = os.environ.get("LAMBDAPIC_DONATE")
     if v is not None:
         return (0,) if v.lower() in ("1", "on", "true") else ()
-    return (0,)
+    return ()
 
 
 class StepBuilder:
@@ -1284,7 +1289,9 @@ class StepBuilder:
                       migrate: bool = True) -> SimulationState:
         """sort/collisions/species blocks/current reduction
         (reference simulation.py:966-1080)."""
-        key = scalars.get("key", jax.random.PRNGKey(0))
+        key = jax.random.fold_in(
+            scalars.get("key", jax.random.PRNGKey(0)),
+            scalars.get("itime", 0))
         particles = list(state.particles)
         if self.collisions is not None and self.switches["collisions"]:
             particles = self._apply_collisions(particles, key)
@@ -1349,7 +1356,9 @@ class StepBuilder:
         inner stages; the reference's non-unified pusher sequence,
         simulation.py:993-1041). Sub-segments communicate through the
         particle arrays (positions/gathered fields written back)."""
-        key = scalars.get("key", jax.random.PRNGKey(0))
+        key = jax.random.fold_in(
+            scalars.get("key", jax.random.PRNGKey(0)),
+            scalars.get("itime", 0))
         particles = list(state.particles)
         if "p1" in stages and self.collisions is not None \
                 and self.switches["collisions"]:
