@@ -325,7 +325,9 @@ def measure(args):
         args.warmup = 1
 
     sim, cbs = build(args.config, args)
-    sim.step_chunk = args.chunk if args.chunk == "auto" else int(args.chunk)
+    sim.step_chunk = (args.chunk if args.chunk == "auto"
+                      or str(args.chunk).startswith("unroll:")
+                      else int(args.chunk))
     sim.recap_interval = args.recap
     chunk_eff = sim._chunk_limit()
     if chunk_eff > 1:

@@ -670,10 +670,20 @@ class Simulation:
                 return 1
             return self.CHUNK_SIZES[0] \
                 if self.grid.dimension == 2 else 1
+        if isinstance(v, str) and v.startswith("unroll:"):
+            n = int(v.split(":", 1)[1])
+            if n < 1:
+                raise ValueError(f"unroll chunk must be >= 1, got {n}")
+            return n
         if not isinstance(v, int) or isinstance(v, bool) or v < 1:
             raise ValueError(
-                f"step_chunk must be 'auto' or an int >= 1, got {v!r}")
+                "step_chunk must be 'auto', 'unroll:K' or an int >= 1, "
+                f"got {v!r}")
         return v
+
+    def _chunk_unrolled(self) -> bool:
+        return (isinstance(self.step_chunk, str)
+                and self.step_chunk.startswith("unroll:"))
 
     def _steps_until_host_event(self, cbs, max_k: int,
                                 stop_callback) -> int:
@@ -730,11 +740,14 @@ class Simulation:
     def _get_multi_step(self, k: int):
         if not hasattr(self, "_multi_steps"):
             self._multi_steps = {}
-        if k not in self._multi_steps:
+        key = (k, self._chunk_unrolled())
+        if key not in self._multi_steps:
             from .step import donation_argnums
-            self._multi_steps[k] = jax.jit(self._builder.multi_step,
-                                           donate_argnums=donation_argnums())
-        return self._multi_steps[k]
+            fn = (self._builder.multi_step_unrolled
+                  if self._chunk_unrolled() else self._builder.multi_step)
+            self._multi_steps[key] = jax.jit(
+                fn, donate_argnums=donation_argnums())
+        return self._multi_steps[key]
 
     def _stacked_scalars(self, lasers, k: int) -> dict:
         itime0, time0 = self.itime, self.time
@@ -804,7 +817,9 @@ class Simulation:
                                  nsteps_total - self.itime), stop_callback)
                     R = self.rebin_interval
                     k = 1
-                    for cand in self.CHUNK_SIZES:
+                    sizes = ((chunk_limit,) if self._chunk_unrolled()
+                             else self.CHUNK_SIZES)
+                    for cand in sizes:
                         if cand <= free and cand <= chunk_limit and \
                                 cand % R == 0 and self.itime % R == 0:
                             k = cand
