@@ -642,14 +642,24 @@ class Simulation:
             builder.compile()
 
     def _scalars(self, lasers) -> dict:
-        # the per-step key fold rides INSIDE the jitted step
-        # (step.py seg_particles folds base_key with "itime"): folding
-        # here dispatched two extra tiny device programs per step, and
-        # each relay round trip costs ~2 ms — a measured ~6 ms/step of
-        # dispatch gap at the 3D bench shape (device time 8.7 ms)
-        sc = {"key": self._base_key, "itime": np.uint32(self.itime)}
+        # Two dispatch-path rules shaped this (3D bench, device step
+        # ~7.7 ms vs ~12.8 ms wall):
+        # - the per-step key fold rides INSIDE the jitted step (step.py
+        #   seg_particles folds base_key with "itime"): folding here
+        #   dispatched two extra tiny device programs per step;
+        # - every per-step host scalar (itime, laser gates/phases) is
+        #   packed into ONE f64 "blob" array so the step takes a single
+        #   small host->device transfer instead of ~10 separate leaves,
+        #   each paying a relay round trip.
+        raw = {}
         for i, laser in enumerate(lasers):
-            sc[f"laser{i}"] = laser.host_scalars(self)
+            raw[f"laser{i}"] = laser.host_scalars(self)
+        sc = {"key": self._base_key, "itime": np.uint32(self.itime)}
+        if raw:
+            leaves, treedef = jax.tree.flatten(raw)
+            self._builder.set_scalar_blob(
+                treedef, [np.asarray(v).dtype for v in leaves])
+            sc["blob"] = np.array([float(v) for v in leaves], np.float64)
         return sc
 
     # -- chunked stepping (lax.scan over K steps, one dispatch) ----------
@@ -669,7 +679,7 @@ class Simulation:
             if _jax.default_backend() == "cpu":
                 return 1
             return self.CHUNK_SIZES[0] \
-                if self.grid.dimension == 2 else 1
+                if self.dimension == 2 else 1
         if isinstance(v, str) and v.startswith("unroll:"):
             n = int(v.split(":", 1)[1])
             if n < 1:

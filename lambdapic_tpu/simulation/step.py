@@ -1275,8 +1275,29 @@ class StepBuilder:
             return update_efield_pl, update_bfield_pl
         return update_efield, update_bfield
 
+    def set_scalar_blob(self, treedef, dtypes) -> None:
+        """Register the packed-scalars layout (Simulation._scalars packs
+        every per-step host scalar — itime, laser gates/phases — into
+        ONE device transfer; a dict of ~10 separate tiny leaves paid
+        one relay round trip each)."""
+        self._blob_treedef = treedef
+        self._blob_dtypes = tuple(dtypes)
+
+    def _unpack_scalars(self, scalars):
+        if not isinstance(scalars, dict) or "blob" not in scalars:
+            return scalars
+        blob = scalars["blob"]
+        leaves = [blob[i].astype(dt)
+                  for i, dt in enumerate(self._blob_dtypes)]
+        out = jax.tree.unflatten(self._blob_treedef, leaves)
+        for k in ("key", "itime"):
+            if k in scalars:
+                out[k] = scalars[k]
+        return out
+
     def seg_fields_1(self, state: SimulationState, scalars) -> SimulationState:
         """E += dt/2 ; B += dt/2 (reference simulation.py:946-960)."""
+        scalars = self._unpack_scalars(scalars)
         f = state.fields
         if self.switches["maxwell"]:
             ue, ub = self._maxwell_fns(f)
@@ -1289,6 +1310,7 @@ class StepBuilder:
                       migrate: bool = True) -> SimulationState:
         """sort/collisions/species blocks/current reduction
         (reference simulation.py:966-1080)."""
+        scalars = self._unpack_scalars(scalars)
         key = jax.random.fold_in(
             scalars.get("key", jax.random.PRNGKey(0)),
             scalars.get("itime", 0))
@@ -1356,6 +1378,7 @@ class StepBuilder:
         inner stages; the reference's non-unified pusher sequence,
         simulation.py:993-1041). Sub-segments communicate through the
         particle arrays (positions/gathered fields written back)."""
+        scalars = self._unpack_scalars(scalars)
         key = jax.random.fold_in(
             scalars.get("key", jax.random.PRNGKey(0)),
             scalars.get("itime", 0))
@@ -1390,6 +1413,7 @@ class StepBuilder:
 
     def seg_fields_2(self, state: SimulationState, scalars) -> SimulationState:
         """B += dt/2 ; lasers ; E += dt/2 (reference simulation.py:1097-1118)."""
+        scalars = self._unpack_scalars(scalars)
         f = state.fields
         ue, ub = self._maxwell_fns(f)
         if self.switches["maxwell"]:

@@ -21,6 +21,17 @@ os.environ["XLA_FLAGS"] = flags.strip()
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache, shared across the xdist workers AND
+# across suite runs: the kernel-parity tests compile multi-minute
+# interpret-mode executables, and every worker process would otherwise
+# recompile them from scratch (a cold full suite is ~1.5 h; warm ~
+# minutes). The cache dir is gitignored.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          os.pardir, ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", _cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 os.environ.setdefault("LAMBDAPIC_LOG_LEVEL", "WARNING")
 
 import gc
