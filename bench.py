@@ -266,9 +266,22 @@ def _watchdog(deadline_ts, get_candidate):
 
 
 def record_mode(args):
-    """Staged driver-record mode: always lands SOME result before the
-    deadline (round-2 lesson: the driver's bench run timed out with
-    nothing parsed, BENCH_r02.json rc=124)."""
+    """Staged driver-record mode: always lands SOME nonzero result
+    before the deadline, from a COLD compilation cache (round-2/3
+    lesson: BENCH_r02 rc=124, BENCH_r03 watchdog-0.0 — the particle
+    megakernel takes 13+ min to compile cold on this 1-core host, so a
+    cold start can NEVER reach the particle configs in-deadline).
+
+    Phase 0: vacuum FDTD (one of the five BASELINE configs) — compiles
+             cold in ~1-2 min and lands a guaranteed record.
+    Phase 1: 2D laser-target (pushes/s) — only attempted when phase 0's
+             wall time shows the persistent cache is warm (the repo
+             ships .jax_cache entries for exactly these configs).
+    Phase 2: 3D laser-target (the BASELINE.json north star) — preferred
+             result when it completes; requires the warm cache too.
+
+    The emitted record is the most-preferred completed phase
+    (3D > 2D > vacuum); other phases ride in extra."""
     deadline = _T0 + float(os.environ.get("LAMBDAPIC_BENCH_DEADLINE",
                                           "480"))
     holder = {}
@@ -283,25 +296,55 @@ def record_mode(args):
                      daemon=True).start()
     import gc
 
-    # phase 1: quick 2D laser-target — a fast-compiling fallback record
-    a1 = argparse.Namespace(**vars(args))
-    a1.config = "laser-target"
-    a1.steps, a1.warmup, a1.chunk, a1.best_of = 96, 6, "auto", 1
+    def attach(result, tag):
+        prev = holder.get("r")
+        if prev is not None:
+            result.setdefault("extra", {})[
+                "prev_" + prev["extra"]["config"]] = {
+                    "value": prev["value"], "unit": prev["unit"]}
+        holder["r"] = result
+
+    # phase 0: vacuum FDTD — cold-start-safe guaranteed record
+    t0 = time.time()
     try:
-        holder["r"] = measure(a1)
+        a0 = argparse.Namespace(**vars(args))
+        a0.config, a0.nx, a0.ny = "vacuum", None, None
+        a0.steps, a0.warmup, a0.chunk, a0.best_of = 96, 21, "auto", 1
+        attach(measure(a0), "vacuum")
     except Exception as e:
-        fallback["extra"]["error"] = f"phase-1 2D failed: {e!r}"
+        fallback["extra"]["error"] = f"phase-0 vacuum failed: {e!r}"
+    phase0_wall = time.time() - t0
+    gc.collect()
+
+    # cache-warmth heuristic: a warm phase 0 finishes in well under a
+    # minute; a cold one compiles for minutes. The particle configs
+    # compile for 13+ (2D) / 20+ (3D) minutes cold — attempting them
+    # cold would burn the whole deadline for nothing.
+    cache_warm = phase0_wall < 150
+    remaining = lambda: deadline - time.time()
+
+    # phase 1: 2D laser-target
+    if cache_warm and remaining() > 120:
+        try:
+            a1 = argparse.Namespace(**vars(args))
+            a1.config, a1.nx, a1.ny = "laser-target", None, None
+            a1.steps, a1.warmup, a1.chunk, a1.best_of = 96, 21, "auto", 1
+            attach(measure(a1), "2d")
+        except Exception as e:
+            if "r" in holder:
+                holder["r"].setdefault("extra", {})["phase1_error"] = \
+                    repr(e)
     gc.collect()
 
     # phase 2: the 3D headline config (BASELINE.json north star).
     # auto chunking resolves to per-step dispatch in 3D -> exactly one
     # step-kernel compile; best-of-2 windows.
-    if time.time() < deadline - 60:
-        a2 = argparse.Namespace(**vars(args))
-        a2.config = "laser-target-3d"
-        a2.chunk, a2.best_of = "auto", 2
+    if cache_warm and remaining() > 120:
         try:
-            holder["r"] = measure(a2)
+            a2 = argparse.Namespace(**vars(args))
+            a2.config, a2.nx, a2.ny = "laser-target-3d", None, None
+            a2.chunk, a2.best_of = "auto", 2
+            attach(measure(a2), "3d")
         except Exception as e:
             if "r" in holder:
                 holder["r"].setdefault("extra", {})["phase2_error"] = \

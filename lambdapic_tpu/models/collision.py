@@ -188,12 +188,61 @@ def _pair_collide(ux1, uy1, uz1, ig1, w1, m1, q1,
     return (ux1n, uy1n, uz1n, ig1n), (ux2n, uy2n, uz2n, ig2n)
 
 
+# ----------------------------------------------------------------------
+# cell-layout helpers: the cell engine already bins particles by cell
+# (arrays are (cap_c, nx, ny[, nz]) with the cell identity = the array
+# position), so pairing needs NO argsort and NO flat gathers — a Batcher
+# compare-exchange over the small slot axis compacts + shuffles each
+# cell's column in one vectorized pass (the flat path's
+# shuffled_sort_perm + take() pipeline was the collision bench's DNF).
+# ----------------------------------------------------------------------
+
+def _sort_cap(ces, key, payloads):
+    """Batcher sort along the slot axis (axis 0) at XLA level: ``ces``
+    is the compare-exchange network, ``key`` (cap, *cells), ``payloads``
+    a list of same-shape arrays carried through the swaps. Returns the
+    sorted payloads (the key is consumed)."""
+    cap = key.shape[0]
+    ks = [key[a] for a in range(cap)]
+    ps = [[p[a] for a in range(cap)] for p in payloads]
+    for a, b in ces:
+        swap = ks[a] > ks[b]
+        ka, kb = ks[a], ks[b]
+        ks[a] = jnp.where(swap, kb, ka)
+        ks[b] = jnp.where(swap, ka, kb)
+        for pl in ps:
+            va, vb = pl[a], pl[b]
+            pl[a] = jnp.where(swap, vb, va)
+            pl[b] = jnp.where(swap, va, vb)
+    return [jnp.stack(p) for p in ps]
+
+
+def _take_rank(arr, idx):
+    """Per-cell dynamic slot lookup without a gather: arr (cap, *cells),
+    idx (*cells) or (capB, *cells) int32 rank -> values at that rank
+    (one-hot sum over the small slot axis)."""
+    cap = arr.shape[0]
+    out = None
+    for j in range(cap):
+        v = jnp.where(idx == j, arr[j][None] if idx.ndim == arr.ndim
+                      else arr[j], 0.0)
+        out = v if out is None else out + v
+    return out
+
+
 class Collision:
     """Traced collision stage over per-device local particle arrays.
 
     Built by the Simulation from add_collision groups
     (reference collision.py:36-63). apply() is called inside seg_particles
     (before the pusher, reference simulation.py:974-978).
+
+    Two layouts:
+    - apply_local: flat (cap,) arrays — sort-by-(cell, random) pairing
+      (reference sort/cpu2d.c analog).
+    - apply_cell: cell-binned (cap_c, *cells) arrays — slot-column
+      pairing with identical reference pairing semantics
+      (collision/cpu.py:22-134) but no argsort/gather.
     """
 
     def __init__(self, cfg: CollisionConfig, grid):
@@ -263,6 +312,252 @@ class Collision:
         inv_d2 = jnp.where((inv_d2 > 0) & (1.0 / inv_d2 < rmin2),
                            1.0 / rmin2, inv_d2)
         return inv_d2
+
+    # -- cell layout (no argsort, no gathers) ---------------------------
+    def _debye_field_cell(self, species_data):
+        """Per-cell inverse Debye length squared on (cap_c, *cells)
+        arrays: the per-cell sums of the flat path's segment_sum are
+        plain reductions over the slot axis here (reference
+        cpu.py:138-250 semantics)."""
+        cell_vol = self.cfg.cell_vol
+        inv_d2 = None
+        ntot = None
+        for ispec in self.ispecs:
+            data, alive = species_data[ispec]
+            m, q = self.cfg.species_mq[ispec]
+            w = jnp.where(alive, data["w"], 0.0)
+            ux, uy, uz = data["ux"], data["uy"], data["uz"]
+            w_tot = w.sum(0)
+            wsafe = jnp.maximum(w_tot, 1e-30)
+            ux_m = (w * ux).sum(0) / wsafe
+            uy_m = (w * uy).sum(0) / wsafe
+            uz_m = (w * uz).sum(0) / wsafe
+            du2 = ((ux - ux_m[None])**2 + (uy - uy_m[None])**2
+                   + (uz - uz_m[None])**2)
+            # T = <v p>/3 (reference cpu.py:207-219)
+            kT_mc2 = (w * du2 / jnp.sqrt(1 + du2) / 3.0).sum(0) / wsafe
+            kT = kT_mc2 * m * c**2
+            dens = w_tot / cell_vol
+            contrib = jnp.where(kT > 0,
+                                dens * q**2 / (epsilon_0
+                                               * jnp.maximum(kT, 1e-30)),
+                                jnp.where(w_tot > 0, jnp.inf, 0.0))
+            contrib = jnp.where(w_tot > 0, contrib, 0.0)
+            inv_d2 = contrib if inv_d2 is None else inv_d2 + contrib
+            ntot = dens if ntot is None else ntot + dens
+        # Debye length >= interparticle distance (reference cpu.py:230-250)
+        rmin2 = jnp.where(ntot > 0, (4 * pi * ntot / 3.0)**(-2.0 / 3.0),
+                          jnp.inf)
+        inv_d2 = jnp.where((inv_d2 > 0) & (1.0 / inv_d2 < rmin2),
+                           1.0 / rmin2, inv_d2)
+        return inv_d2
+
+    def apply_cell(self, species_data: Dict[int, tuple], dt, key):
+        """Cell-layout collision stage: species_data: ispec ->
+        (data dict of (cap_c, *cells) arrays, alive). Returns updated
+        data dicts. Pairing semantics identical to apply_local /
+        the reference (collision/cpu.py:22-134); only the mechanics
+        differ — each cell's slot column is compacted alive-first in a
+        random order by a Batcher pass, pairs are formed by static slot
+        arithmetic, and momenta are restored to their original slots by
+        a second Batcher pass keyed on the carried slot index."""
+        from ..ops.cellpallas import _batcher_network
+
+        inv_d2 = self._debye_field_cell(species_data)
+
+        views = {}
+        for ispec in self.ispecs:
+            data, alive = species_data[ispec]
+            cap = alive.shape[0]
+            dtype = data["ux"].dtype
+            n2 = 1
+            while n2 < cap:
+                n2 *= 2
+            ces = _batcher_network(n2, cap)
+            skey = jax.random.fold_in(key, 1000 + ispec)
+            pri = jax.random.uniform(skey, alive.shape, dtype=dtype)
+            # alive first (in random order), dead last
+            k = jnp.where(alive, pri, pri + 2.0)
+            iota = jax.lax.broadcasted_iota(dtype, alive.shape, 0)
+            ux, uy, uz, ig, w, io = _sort_cap(
+                ces, k, [data["ux"], data["uy"], data["uz"],
+                         data["inv_gamma"], jnp.where(alive, data["w"],
+                                                      0.0), iota])
+            views[ispec] = {
+                "mom": [ux, uy, uz, ig], "w": w, "iota": io, "ces": ces,
+                "n": alive.sum(0, dtype=jnp.int32), "cap": cap,
+                "dtype": dtype,
+            }
+
+        for ipair, pair in enumerate(self.cfg.pairs):
+            pkey = jax.random.fold_in(key, 2000 + ipair)
+            if pair.ispec1 == pair.ispec2:
+                self._intra_cell(pair.ispec1, views, inv_d2, dt, pkey)
+            else:
+                self._inter_cell(pair, views, inv_d2, dt, pkey)
+
+        out = {}
+        for ispec in self.ispecs:
+            v = views[ispec]
+            data = dict(species_data[ispec][0])
+            # unsort: Batcher keyed on the carried original slot index
+            ux, uy, uz, ig = _sort_cap(v["ces"], v["iota"], v["mom"])
+            data["ux"], data["uy"], data["uz"] = ux, uy, uz
+            data["inv_gamma"] = ig
+            out[ispec] = data
+        return out
+
+    def _intra_cell(self, ispec, views, inv_d2, dt, key):
+        """Intra-species pairing on compacted slot columns (reference
+        cpu.py:22-68): rank 2i with 2i+1, odd cells re-pair last-with-
+        first in a second pass with w_corr = 0.5 (on the first pair of
+        pass 1 too)."""
+        v = views[ispec]
+        m, q = self.cfg.species_mq[ispec]
+        ux, uy, uz, ig = v["mom"]
+        w = v["w"]
+        n = v["n"]
+        cap = v["cap"]
+        dtype = v["dtype"]
+        cells = n.shape
+        rank = jax.lax.broadcasted_iota(jnp.int32, (cap,) + cells, 0)
+        nB = n[None]
+        dt_corr = jnp.where(n % 2 == 0, n - 1, n).astype(dtype)
+        odd = (n % 2 == 1) & (n >= 3)
+
+        # pass 1: even rank pairs its successor (static slot arithmetic)
+        ev = lambda a: a[0::2]
+        od = lambda a: a[1::2]
+        valid1 = (rank[0::2] + 1) < nB
+        pair_idx = jax.lax.broadcasted_iota(jnp.int32,
+                                            (cap // 2,) + cells, 0)
+        wc1 = jnp.where(odd[None] & (pair_idx == 0), 0.5, 1.0).astype(dtype)
+        k1, k2, k3 = jax.random.split(key, 3)
+        shp = (cap // 2,) + cells
+        u_s = jax.random.uniform(k1, shp, dtype=dtype)
+        u_acc = jax.random.uniform(k2, shp, dtype=dtype)
+        phi = jax.random.uniform(k3, shp, dtype=dtype, maxval=2 * pi)
+        new1, new2 = _pair_collide(
+            ev(ux), ev(uy), ev(uz), ev(ig), ev(w) * wc1, m, q,
+            od(ux), od(uy), od(uz), od(ig), od(w) * wc1, m, q,
+            valid1, dt_corr[None], self.cfg.lnLambda, inv_d2[None],
+            self.cfg.cell_vol, dt, u_s, u_acc, phi)
+        mom = []
+        for j, arr in enumerate((ux, uy, uz, ig)):
+            upd = jnp.stack([new1[j], new2[j]], axis=1).reshape(arr.shape)
+            sel = jnp.repeat(valid1, 2, axis=0)
+            mom.append(jnp.where(sel, upd, arr))
+        ux, uy, uz, ig = mom
+
+        # pass 2: odd cells re-pair the LAST alive with the FIRST using
+        # post-pass-1 momenta (reference's sequential last pair)
+        last = lambda arr: jnp.sum(jnp.where(rank == nB - 1, arr, 0.0),
+                                   axis=0)
+        k4, k5, k6 = jax.random.split(jax.random.fold_in(key, 7), 3)
+        u_s2 = jax.random.uniform(k4, cells, dtype=dtype)
+        u_acc2 = jax.random.uniform(k5, cells, dtype=dtype)
+        phi2 = jax.random.uniform(k6, cells, dtype=dtype, maxval=2 * pi)
+        half = jnp.asarray(0.5, dtype)
+        new_l, new_f = _pair_collide(
+            last(ux), last(uy), last(uz), last(ig), last(w) * half, m, q,
+            ux[0], uy[0], uz[0], ig[0], w[0] * half, m, q,
+            odd, dt_corr, self.cfg.lnLambda, inv_d2,
+            self.cfg.cell_vol, dt, u_s2, u_acc2, phi2)
+        mom = []
+        for j, arr in enumerate((ux, uy, uz, ig)):
+            arr = jnp.where((rank == nB - 1) & odd[None], new_l[j][None],
+                            arr)
+            arr = arr.at[0].set(jnp.where(odd, new_f[j], arr[0]))
+            mom.append(arr)
+        v["mom"] = mom
+
+    def _inter_cell(self, pair, views, inv_d2, dt, key):
+        """Inter-species pairing on compacted slot columns with the
+        reference's max(n1,n2) repeats (cpu.py:71-134), as sequential
+        conflict-free rounds (see _inter docstring)."""
+        i1, i2 = pair.ispec1, pair.ispec2
+        v1, v2 = views[i1], views[i2]
+        m1, q1 = self.cfg.species_mq[i1]
+        m2, q2 = self.cfg.species_mq[i2]
+        cap1, cap2 = v1["cap"], v2["cap"]
+        n1, n2 = v1["n"], v2["n"]
+        w1, w2 = v1["w"], v2["w"]
+        dtype = v1["dtype"]
+        cells = n1.shape
+        rank1 = jax.lax.broadcasted_iota(jnp.int32, (cap1,) + cells, 0)
+        rank2 = jax.lax.broadcasted_iota(jnp.int32, (cap2,) + cells, 0)
+
+        nbig_c = jnp.maximum(n1, n2)
+        nsml_c = jnp.minimum(n1, n2)
+        rounds_c = jnp.where((nsml_c > 0) & (nbig_c > 0),
+                             (nbig_c + nsml_c - 1) // nsml_c, 0)
+        max_rounds = jnp.max(rounds_c).astype(jnp.int32)
+
+        def w_corr_of(small_rank, nbig, nsmall):
+            fl = nbig // jnp.maximum(nsmall, 1)
+            extra = nbig % jnp.maximum(nsmall, 1)
+            return jnp.where(small_rank < extra,
+                             1.0 / (fl + 1),
+                             1.0 / jnp.maximum(fl, 1)).astype(dtype)
+
+        def sub_pass(rkey, r, mom_big, mom_sml, w_big, w_sml, rank_big,
+                     rank_sml, n_big, n_sml, big_first, mq_big, mq_sml):
+            """One round's pass over the big side's slot rows. Active in
+            cells where the big side is at least as large as (strictly
+            larger than, for the B pass) the small side."""
+            cmp_ok = (n_big >= n_sml) if big_first else (n_big > n_sml)
+            sr = rank_big - r * n_sml[None]
+            act = (cmp_ok & (n_sml > 0))[None] & (sr >= 0) \
+                & (sr < n_sml[None]) & (rank_big < n_big[None])
+            srbesc = jnp.maximum(sr, 0)
+            # partner values of the small side at per-cell rank sr
+            s_ux, s_uy, s_uz, s_ig, s_w = [
+                _take_rank(a, srbesc) for a in (*mom_sml, w_sml)]
+            wc = w_corr_of(srbesc, n_big[None], jnp.maximum(n_sml, 1)[None])
+            dt_corr = n_big.astype(dtype)[None]
+            shp = mom_big[0].shape
+            ka, kb, kc = jax.random.split(rkey, 3)
+            u_s = jax.random.uniform(ka, shp, dtype=dtype)
+            u_acc = jax.random.uniform(kb, shp, dtype=dtype)
+            phi = jax.random.uniform(kc, shp, dtype=dtype, maxval=2 * pi)
+            new_b, new_s = _pair_collide(
+                mom_big[0], mom_big[1], mom_big[2], mom_big[3],
+                w_big * wc, mq_big[0], mq_big[1],
+                s_ux, s_uy, s_uz, s_ig, s_w * wc,
+                mq_sml[0], mq_sml[1],
+                act, dt_corr, self.cfg.lnLambda, inv_d2[None],
+                self.cfg.cell_vol, dt, u_s, u_acc, phi)
+            mom_big = tuple(jnp.where(act, nv, a)
+                            for a, nv in zip(mom_big, new_b))
+            # small-side updates: small rank j was touched by big rank
+            # j + r*n_sml — gather the new values back (invertible map
+            # within a round, so this is conflict-free)
+            idxS = rank_sml + r * n_sml[None]
+            actS = (cmp_ok & (n_sml > 0))[None] & (rank_sml < n_sml[None]) \
+                & (idxS < n_big[None])
+            mom_sml = tuple(
+                jnp.where(actS, _take_rank(nv, idxS), a)
+                for a, nv in zip(mom_sml, new_s))
+            return mom_big, mom_sml
+
+        mom1 = tuple(v1["mom"])
+        mom2 = tuple(v2["mom"])
+
+        def body(carry):
+            r, mom1, mom2 = carry
+            rkey = jax.random.fold_in(key, r)
+            kA, kB = jax.random.split(rkey)
+            mom1, mom2 = sub_pass(kA, r, mom1, mom2, w1, w2, rank1, rank2,
+                                  n1, n2, True, (m1, q1), (m2, q2))
+            mom2, mom1 = sub_pass(kB, r, mom2, mom1, w2, w1, rank2, rank1,
+                                  n2, n1, False, (m2, q2), (m1, q1))
+            return r + 1, mom1, mom2
+
+        _, mom1, mom2 = jax.lax.while_loop(
+            lambda cr: cr[0] < max_rounds, body,
+            (jnp.int32(0), mom1, mom2))
+        v1["mom"] = list(mom1)
+        v2["mom"] = list(mom2)
 
     def apply_local(self, species_data: Dict[int, tuple], dt, key):
         """species_data: ispec -> (data dict (cap,), alive). Returns updated

@@ -312,10 +312,19 @@ class NonlinearComptonLCFA:
             data["ex_part"], data["ey_part"], data["ez_part"],
             data["bx_part"], data["by_part"], data["bz_part"],
             data["ux"], data["uy"], data["uz"], data["inv_gamma"])
+        return self.update_events_from_chi(data, alive, key, dt, chi,
+                                           data["inv_gamma"])
+
+    def update_events_from_chi(self, data, alive, key, dt, chi, ig_pre):
+        """Event sampling from a precomputed chi (the slab megakernel
+        emits chi + the pre-push inv_gamma in-kernel,
+        ops/cellslab.py::unified_cell_step want_chi; same math as
+        update_chi_and_events — reference optical_depth.py:36-130)."""
+        data = dict(data)
         data["chi"] = jnp.where(alive, chi, 0.0)
         keys = jax.random.split(jax.random.fold_in(key, 101), 3)
         tau, event, delta = _update_tau(
-            data["tau"], data["inv_gamma"], data["chi"], alive, dt, keys,
+            data["tau"], ig_pre, data["chi"], alive, dt, keys,
             self.tables, strict_less=True, sample_mode=self.sample_mode)
         data["tau"] = tau
         data["event"] = event.astype(data["tau"].dtype)

@@ -76,11 +76,17 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-from ..constants import c as c_light
+from ..constants import c as c_light, e as _e_charge, hbar as _hbar, \
+    m_e as _m_e
 from .cellpallas import (_GOFF, _HOFF, _DOFF, _COMPS2, _COMPS3,
                          _batcher_network, _boris, _compile_kwargs, _m2,
                          _mig_perms, _use_interpret, occ_skip_enabled)
 from .cell2d import _TRANSIENT
+
+# quantum-parameter prefactor (reference inline.py:5-13; same constant
+# as models/qed.py::CHI_FACTOR — duplicated here to keep ops/ free of
+# models/ imports)
+_CHI_FACTOR = _e_charge * _hbar / (_m_e**2 * c_light**3)
 
 
 def _env_int(name: str, default: int) -> int:
@@ -106,11 +112,13 @@ def slab_bx(nx_loc: int, ndim: int) -> int:
     return pref if nx_loc % pref == 0 else nx_loc
 
 
-def slab_ok(nloc: Tuple[int, ...], cap: int) -> bool:
+def slab_ok(nloc: Tuple[int, ...], cap: int,
+            extra_arrays: int = 0) -> bool:
     """VMEM feasibility: the gather+deposit phase holds ~85 (3D) /
     ~45 (2D) live block-size arrays (x AND z tap dictionaries + payload
     rows; y taps are recomputed lazily) plus the field slab and the
-    double-buffered in/out refs."""
+    double-buffered in/out refs. ``extra_arrays``: additional block-size
+    refs (QED: tau/delta/event payloads in+out + chi/ig_pre outputs)."""
     ndim = len(nloc)
     bx = slab_bx(nloc[0], ndim)
     trail = 1
@@ -119,7 +127,7 @@ def slab_ok(nloc: Tuple[int, ...], cap: int) -> bool:
     blk = cap * bx * trail * 4
     slab = 6 * (bx + 4) * trail * 4
     live = 85 if ndim == 3 else 45
-    refs = 26 * blk                      # in+out payloads, double-buffered
+    refs = (26 + 2 * extra_arrays) * blk   # in+out, double-buffered
     budget = _env_int("LAMBDAPIC_SLAB_VMEM_MB", 100) * 1024 * 1024
     return live * blk + refs + 3 * slab <= budget
 
@@ -289,7 +297,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                       q: float, m: float, dt: float,
                       deltas: Sequence[float], g: int,
                       occ=None, sanitize: Sequence[int] = (),
-                      rims_in=None, with_rho: bool = True):
+                      rims_in=None, with_rho: bool = True,
+                      want_chi: bool = False):
     """Run half-push + migration(x,y[,z]) + gather + Boris + half push
     + deposit in one pallas kernel over x-slabs.
 
@@ -306,9 +315,18 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     deltas = (dx, dy[, dz]). sanitize: payload indices zeroed for dead
     slots on output (w, coords, momenta).
 
-    Returns (alive8_out, payloads_out, inv_gamma, rims, n_merged):
-    rims (4, nbx, bx+4, ny+2g[, nz+2g]), channel-first — overlap-add
-    along x only (cellpallas._fold_cfirst) to get the padded J."""
+    Returns (alive8_out, payloads_out, inv_gamma, rims, n_merged[,
+    chi, ig_pre]): rims (4, nbx, bx+4, ny+2g[, nz+2g]), channel-first —
+    overlap-add along x only (cellpallas._fold_cfirst) to get the
+    padded J.
+
+    ``want_chi`` (QED species): additionally emit the quantum parameter
+    chi (reference inline.py:5-13) computed in-kernel between the gather
+    and the Boris rotation — i.e. from the POST-migration, PRE-push
+    momenta and the gathered E,B at the mid-step position, exactly the
+    reference's _qed stage inputs — plus the matching pre-push
+    inv_gamma (for the optical-depth decrement outside the kernel,
+    models/qed.py::_update_tau)."""
     from jax.experimental.pallas import tpu as pltpu
 
     cap = alive8.shape[0]
@@ -371,6 +389,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
         out_ig = refs[o + 1 + n_pay]
         out_rims = refs[o + 2 + n_pay]
         out_m = refs[o + 3 + n_pay]
+        out_chi = refs[o + 4 + n_pay] if want_chi else None
+        out_ig0 = refs[o + 5 + n_pay] if want_chi else None
         i = pl.program_id(0)
         is_first = i == 0
         is_last = i == nbx - 1
@@ -609,6 +629,23 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                         acc = acc + tx * tyz * f[None]
                         eb.append(acc)
 
+                if want_chi:
+                    # quantum parameter at the reference's _qed stage
+                    # point (inline.py:5-13): post-migration pre-push
+                    # momenta + gathered fields at the mid-step position
+                    ig0 = jax.lax.rsqrt(
+                        1.0 + ux0 * ux0 + uy0 * uy0 + uz0 * uz0)
+                    gam0 = 1.0 / ig0
+                    exp_, eyp_, ezp_, bxp_, byp_, bzp_ = eb
+                    cc = jnp.asarray(c_light, dtype)
+                    val = ((gam0 * exp_ + (uy0 * bzp_ - uz0 * byp_) * cc)**2
+                           + (gam0 * eyp_ + (uz0 * bxp_ - ux0 * bzp_) * cc)**2
+                           + (gam0 * ezp_ + (ux0 * byp_ - uy0 * bxp_) * cc)**2
+                           - (ux0 * exp_ + uy0 * eyp_ + uz0 * ezp_)**2)
+                    out_chi[...] = jnp.asarray(_CHI_FACTOR, dtype) \
+                        * jnp.sqrt(jnp.maximum(val, 0.0))
+                    out_ig0[...] = ig0
+
                 ux4, uy4, uz4, ig2 = _boris(ux0, uy0, uz0, *eb, q, m,
                                             dt, dtype)
                 u4 = (ux4, uy4, uz4)
@@ -835,8 +872,12 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 def _frozen():
                     # positions/momenta already hold the identity values
                     # (write_state); only ig (Boris recomputes 1.0 at
-                    # u = 0) and the rim seed remain
+                    # u = 0) and the rim seed remain. chi is exactly 0
+                    # in a frozen block (u = 0 AND E,B = 0).
                     out_ig[...] = jnp.ones(out_ig.shape, out_ig.dtype)
+                    if want_chi:
+                        out_chi[...] = jnp.zeros(out_chi.shape, dtype)
+                        out_ig0[...] = jnp.ones(out_ig0.shape, dtype)
                     rims_seed()
 
         on = occ_ref[i] != 0
@@ -849,6 +890,9 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 out_p[p][...] = jnp.zeros(out_p[p].shape,
                                           out_p[p].dtype)
             out_ig[...] = jnp.ones(out_ig.shape, out_ig.dtype)
+            if want_chi:
+                out_chi[...] = jnp.zeros(out_chi.shape, dtype)
+                out_ig0[...] = jnp.ones(out_ig0.shape, dtype)
             out_rims[...] = (rims_in_ref[...] if has_rims_in
                              else jnp.zeros(out_rims.shape, dtype))
             out_m[...] = jnp.where(is_first, 0, out_m[...])
@@ -914,13 +958,16 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 + [cspec_lo] * n_arr + [cspec_hi] * n_arr
                 + [espec] * n_arr + [espec] * n_arr
                 + ([rspec] if has_rims_in else []))
-    out_specs = ([mspec] + [mspec] * n_pay + [mspec, rspec, cnt_spec])
+    out_specs = ([mspec] + [mspec] * n_pay + [mspec, rspec, cnt_spec]
+                 + ([mspec, mspec] if want_chi else []))
     out_shape = ([jax.ShapeDtypeStruct(alive8.shape, jnp.uint8)]
                  + [jax.ShapeDtypeStruct(data[nm].shape, data[nm].dtype)
                     for nm in names]
                  + [jax.ShapeDtypeStruct(alive8.shape, dtype),
                     jax.ShapeDtypeStruct(rims_shape, dtype),
-                    jax.ShapeDtypeStruct((8, 128), jnp.int32)])
+                    jax.ShapeDtypeStruct((8, 128), jnp.int32)]
+                 + ([jax.ShapeDtypeStruct(alive8.shape, dtype)] * 2
+                    if want_chi else []))
 
     kw = _compile_kwargs()
     if not _use_interpret():
@@ -948,6 +995,9 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     ig_out = outs[1 + n_pay]
     rims = outs[2 + n_pay]
     n_merged = outs[3 + n_pay][0, 0]
+    if want_chi:
+        return (alive_out, pays_out, ig_out, rims, n_merged,
+                outs[4 + n_pay], outs[5 + n_pay])
     return alive_out, pays_out, ig_out, rims, n_merged
 
 
@@ -959,7 +1009,8 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                       plan, *, q: float, m: float, dt: float,
                       deltas: Sequence[float], g: int,
                       skip_empty: bool | None = None, fold: bool = True,
-                      rims_in=None, with_rho: bool = True):
+                      rims_in=None, with_rho: bool = True,
+                      want_chi: bool = False):
     """The fused-path species stage on the slab megakernel. ``plan`` =
     ((nloc, HaloSpec, coord), ...) per cell axis, exactly as
     migrate_cells. ``data`` holds the STORED state (pre-push positions
@@ -1046,16 +1097,19 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                                hi_any.reshape(1)])
         occ = (blk_any | ext[0:nx:bx] | ext[bx + 1::bx]).astype(jnp.int32)
 
-    alive_out, pays_out, ig_out, rims, n_lost = unified_cell_step(
+    outs = unified_cell_step(
         eb_pad, alive8, ig, data, edges_lo, edges_hi, names=names,
         merge_idx=merge_idx, coords=coords, periodic=periodic,
         q=q, m=m, dt=dt, deltas=deltas, g=g, occ=occ, sanitize=sanitize,
-        rims_in=rims_in, with_rho=with_rho)
+        rims_in=rims_in, with_rho=with_rho, want_chi=want_chi)
+    alive_out, pays_out, ig_out, rims, n_lost = outs[:5]
 
     data = {**data, **dict(zip(names, pays_out))}
     data["inv_gamma"] = ig_out
     alive = alive_out != 0
     jpad = _fold_cfirst(rims, nx, g, bx) if fold else rims
+    if want_chi:
+        return data, alive, n_lost, jpad, (outs[5], outs[6])
     return data, alive, n_lost, jpad
 
 
@@ -1202,24 +1256,52 @@ def fold_reduce_slab(rims, *, nloc, g: int, spec0, periodic):
         **_compile_kwargs())(*([rims] * (K + 2)), elo, ehi)
 
 
-def slab_supported(plan, nloc, cap, switches, sp, cell_migration: str,
-                   qed: bool, split: bool) -> bool:
-    """Static eligibility for the slab megakernel fused path."""
+def slab_reject_reason(plan, nloc, cap, switches, sp, cell_migration: str,
+                       qed: bool, split: bool) -> str | None:
+    """First failed eligibility predicate for the slab megakernel fused
+    path, or None when eligible. The caller logs this (one INFO line per
+    species per stepper build) so a config one cell off the fast path
+    says WHY it lost 3-5x instead of silently dropping to the per-stage
+    kernels."""
     if not slab_enabled():
-        return False
-    if qed or split or cell_migration == "exact":
-        return False
-    if sp.pusher not in ("boris", "boris+tbmt") or sp.q == 0.0:
-        return False
+        return "LAMBDAPIC_SLAB=0 (disabled by env)"
+    if split:
+        return "split stepping (a host callback occupies an inner stage)"
+    if qed and not qed_slab_enabled():
+        return "QED slab path disabled (LAMBDAPIC_SLAB_QED=0)"
+    if cell_migration == "exact":
+        return "cell_migration='exact' (slab merge is the fast scheme)"
+    if sp.pusher not in ("boris", "boris+tbmt"):
+        return f"pusher {sp.pusher!r} (slab kernel fuses Boris only)"
+    if sp.q == 0.0:
+        return "neutral species (slab kernel fuses the Esirkepov deposit)"
     for k in ("pusher", "interpolation", "migration",
               "current_deposition"):
         if not switches[k]:
-            return False
+            return f"component {k!r} disabled via set_enabled"
     # mesh may be split along x only (in-block wrap along y/z)
     if any(p[1].size > 1 for p in plan[1:]):
-        return False
+        ax = next("yz"[i] for i, p in enumerate(plan[1:]) if p[1].size > 1)
+        return (f"mesh splits the {ax} axis (slab re-binning wraps y/z "
+                "in-block; shard x instead, or use the per-stage kernels)")
     # 2D neighbor-column/window fetches ride 8-row blocks (x is the
     # sublane dim there): needs 8-divisible slabs
     if len(nloc) == 2 and (nloc[0] % 8 or slab_bx(nloc[0], 2) % 8):
-        return False
-    return slab_ok(tuple(nloc), cap)
+        return (f"2D local nx={nloc[0]} not divisible by 8 (neighbor "
+                "columns ride 8-row sublane blocks)")
+    if not slab_ok(tuple(nloc), cap, extra_arrays=10 if qed else 0):
+        return (f"VMEM estimate over budget at capacity {cap} and local "
+                f"grid {tuple(nloc)} (LAMBDAPIC_SLAB_VMEM_MB to override)")
+    return None
+
+
+def qed_slab_enabled() -> bool:
+    import os
+    return os.environ.get("LAMBDAPIC_SLAB_QED", "1") != "0"
+
+
+def slab_supported(plan, nloc, cap, switches, sp, cell_migration: str,
+                   qed: bool, split: bool) -> bool:
+    """Static eligibility for the slab megakernel fused path."""
+    return slab_reject_reason(plan, nloc, cap, switches, sp,
+                              cell_migration, qed, split) is None

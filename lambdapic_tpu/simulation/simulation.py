@@ -138,14 +138,18 @@ class Simulation:
     rebin_interval: int = 1
     # cell engine (tiling="cell") re-binning scheme:
     #   "fast"  = single cap-wide sort + overwrite-merge. ~2x faster
-    #             migration, but simultaneous slot collisions can drop
-    #             particles (~0.1-0.2%/600 steps in dense runs on top of
-    #             genuine capacity overflow; all losses are counted in the
-    #             overflow counters and warned about).
-    #   "exact" = 3*cap concat-merge, lossless while a cell's total stays
-    #             within capacity (ops/cell2d.py migrate_cells).
-    # Use "exact" for physics-validation runs (double precision, QED
-    # population studies); "fast" for throughput.
+    #             migration; simultaneous slot collisions and capacity
+    #             overflow MERGE particles weight-conservingly (charge
+    #             and momentum exactly preserved; the merge count rides
+    #             in the overflow counters and is warned about — the
+    #             reference never merges, it grows arrays instead,
+    #             particles.py:141-168).
+    #   "exact" = 3*cap concat-merge: no merging at all while a cell's
+    #             total stays within capacity (ops/cell2d.py
+    #             migrate_cells); overflow beyond capacity still merges.
+    # Use "exact" for runs where per-particle identity matters (e.g.
+    # tracking studies); "fast" for throughput. Both conserve total
+    # charge/momentum; merges only coarsen the in-cell distribution.
     cell_migration: str = "fast"
     # every-step rho deposit. The reference deposits jx,jy,jz,rho
     # together (current/current_deposit.h) but only J feeds the Maxwell
@@ -453,6 +457,13 @@ class Simulation:
                            f"device, migration buffer {min(buf, cap)}"))
 
         self.state = SimulationState(fields=fields, particles=tuple(parts))
+        # re-initialization rebuilds the overflow counters from zero: the
+        # loss watermarks must restart with them or post-re-init losses
+        # would be silently swallowed up to the stale high-water mark
+        self._loss_reported.clear()
+        self._overflow_seen.clear()
+        self._occ_seen.clear()
+        self._host_lost.clear()
         self._init_qed()
         self._sync_qed_child_caps()
         dist.warm_collectives(self.mesh)
@@ -657,6 +668,20 @@ class Simulation:
         sc = {"key": self._base_key, "itime": np.uint32(self.itime)}
         if raw:
             leaves, treedef = jax.tree.flatten(raw)
+            for v in leaves:
+                a = np.asarray(v)
+                # the blob canonicalizes to f32 on device (x64 off): a
+                # non-scalar, complex, or >2^24 integer leaf would be
+                # silently corrupted rather than transferred
+                if a.ndim != 0 or a.dtype.kind not in "fiub":
+                    raise TypeError(
+                        "host_scalars leaves must be real 0-d scalars; "
+                        f"got {a.dtype} with shape {a.shape}")
+                if a.dtype.kind in "iu" and abs(int(a)) > (1 << 24):
+                    raise ValueError(
+                        f"host scalar {int(a)} exceeds f32 integer "
+                        "exactness (2^24); pass it as a static config "
+                        "value instead")
             self._builder.set_scalar_blob(
                 treedef, [np.asarray(v).dtype for v in leaves])
             sc["blob"] = np.array([float(v) for v in leaves], np.float64)
@@ -684,6 +709,15 @@ class Simulation:
             n = int(v.split(":", 1)[1])
             if n < 1:
                 raise ValueError(f"unroll chunk must be >= 1, got {n}")
+            R = self.rebin_interval
+            if n % R:
+                # without this the run-loop candidate filter would
+                # silently reject K forever and fall back to per-step
+                # dispatch (multi_step_unrolled requires K % R == 0)
+                raise ValueError(
+                    f"step_chunk='unroll:{n}' requires K to be a "
+                    f"multiple of rebin_interval={R} (the unrolled "
+                    "chunk re-bins only at R-step boundaries)")
             return n
         if not isinstance(v, int) or isinstance(v, bool) or v < 1:
             raise ValueError(

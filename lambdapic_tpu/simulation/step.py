@@ -168,6 +168,48 @@ class StepBuilder:
         # expose them
         self.transients_valid: Dict[int, bool] = {}
 
+    def _log_engine(self, ispec, sp, cell_layout, use_pallas_cell,
+                    fused_static, use_slab, slab_reason, split):
+        """One INFO line per species per stepper build naming the
+        engaged particle engine and, when the slab fast path is NOT
+        engaged, the first failed eligibility predicate — fast-path
+        cliffs (nx%8, y/z-split meshes, exact migration, ...) cost 3-5x
+        and must never be silent."""
+        from ..utils.logger import logger as _log
+        if not cell_layout:
+            if self.tile_cfg is not None:
+                engine = f"tiled-{self.tile_backend}"
+            else:
+                engine = "scatter (reference-layout XLA)"
+        elif use_slab:
+            engine = "slab megakernel (fused pallas)"
+        elif fused_static and use_pallas_cell:
+            engine = "cell per-stage pallas (fused push)"
+        elif use_pallas_cell:
+            engine = "cell per-stage pallas"
+        else:
+            engine = "cell XLA kernels"
+        msg = f"species {sp.name}: engine = {engine}"
+        if cell_layout and not use_slab:
+            if slab_reason is None and split:
+                slab_reason = ("split stepping (host callback on an "
+                               "inner stage)")
+            elif slab_reason is None and not use_pallas_cell:
+                slab_reason = ("pallas cell kernels unavailable "
+                               "(CPU backend or VMEM shape limits)")
+            elif slab_reason is None:
+                slab_reason = "slab preconditions (see slab_reject_reason)"
+            msg += f" [slab fast path off: {slab_reason}]"
+        # one line per (species, reason) per build — the split path
+        # rebuilds sub-segments repeatedly and must not spam
+        key = (ispec, msg)
+        seen = getattr(self, "_engine_logged", None)
+        if seen is None:
+            seen = self._engine_logged = set()
+        if key not in seen:
+            seen.add(key)
+            _log.info(msg)
+
     def set_domain_mask(self, domain_mask, damping):
         """Enable masked-domain mode (simulation/mask_simulation.py): fields
         are damped by `damping` each half-update and particles die outside
@@ -301,13 +343,18 @@ class StepBuilder:
                         and self.switches["interpolation"]
                         and sp.pusher in ("boris", "boris+tbmt"))
         use_slab_static = False
+        slab_reason = None
         if cell_layout and fused_static and self.switches["migration"]:
-            from ..ops.cellslab import slab_supported
+            from ..ops.cellslab import slab_reject_reason
             plan_static = tuple((nloc[i], specs[i], ("x", "y", "z")[i])
                                 for i in range(ndim))
-            use_slab_static = slab_supported(
+            slab_reason = slab_reject_reason(
                 plan_static, nloc, sp.tile_cap, self.switches, sp,
                 self.cell_migration, bool(qed), split)
+            use_slab_static = slab_reason is None
+        self._log_engine(ispec, sp, cell_layout, use_pallas_cell,
+                         fused_static, use_slab_static, slab_reason,
+                         split)
 
         def local(eb_pad, data, alive, next_id, overflow, key, *extra):
             # trailing positional extras: [domain_mask?] [rims_in?]
@@ -397,12 +444,22 @@ class StepBuilder:
                 # stored (pre-push) positions + inv_gamma go straight
                 # into the kernel; it applies the first half push
                 from ..ops.cellslab import slab_species_step
-                data, alive, cell_lost, jpad = slab_species_step(
+                want_chi = bool(qed) and self.switches["qed"]
+                outs = slab_species_step(
                     eb_pad, data, alive, plan, q=sp.q, m=sp.m, dt=dt,
                     deltas=(grid.dx, grid.dy, grid.dz)[:ndim], g=g,
                     fold=False,       # jpad = raw rim panels here
                     rims_in=rims_in_loc,  # chain prev species' rims
-                    with_rho=self.with_rho)
+                    with_rho=self.with_rho, want_chi=want_chi)
+                data, alive, cell_lost, jpad = outs[:4]
+                if want_chi:
+                    # QED events from the in-kernel chi + pre-push
+                    # inv_gamma (reference _qed stage inputs); the
+                    # tau/event/delta updates are elementwise XLA
+                    chi_k, ig0_k = outs[4]
+                    for proc in qed:
+                        data, alive = proc.update_events_from_chi(
+                            data, alive, key, dt, chi_k, ig0_k)
                 pos = tuple(data[c] for c in ("x", "y", "z")[:ndim])
                 ux, uy, uz = data["ux"], data["uy"], data["uz"]
                 ig = data["inv_gamma"]
@@ -679,15 +736,20 @@ class StepBuilder:
         def wrapper(eb_pad, pstate: ParticlesState, key, rims_in=None):
             transient = {"ex_part", "ey_part", "ez_part",
                          "bx_part", "by_part", "bz_part"}
-            if qed or split:
+            if (qed and not use_slab_static) or split:
                 out_keys = sorted(pstate.data)
             else:
+                # slab QED species compute chi IN-kernel: the gathered-
+                # field slots stay stale pass-throughs like any fused
+                # species (returning them would cost 6 output buffers)
                 out_keys = sorted(k for k in pstate.data
                                   if k not in transient)
             # record whether this species' gathered-field slots are
             # refreshed each step: plain fused species pass them through
             # stale, and Simulation.get_particles must not expose them
-            self.transients_valid[ispec] = bool(qed) or split
+            self.transients_valid[ispec] = (bool(qed)
+                                            and not use_slab_static) \
+                or split
             self._block_out_keys = out_keys
             dspec = {k: self._p_part for k in pstate.data}
             ospec = {k: self._p_part for k in out_keys}
@@ -829,6 +891,7 @@ class StepBuilder:
         axis_names = self.grid.axis_names
         mesh_shape = self.grid.mesh_shape
         dt = self.dt
+        cell = self.cell_layout
 
         nm = len(mesh_shape)
 
@@ -841,15 +904,24 @@ class StepBuilder:
             caps = {}
             for k, ispec in enumerate(ispecs):
                 data, alive = flat[2 * k], flat[2 * k + 1]
-                # flatten every non-mesh axis: collisions only modify
-                # momenta in place, so the tiled (ntx, nty, cap_t) layout
-                # can run the flat per-device pairing unchanged
                 shp = alive.shape[nm:]
                 caps[ispec] = (alive.shape[:nm], shp)
-                species_data[ispec] = (
-                    {kk: v.reshape(-1) for kk, v in data.items()},
-                    alive.reshape(-1))
-            out = col.apply_local(species_data, dt, dkey)
+                if cell:
+                    # cell layout: keep the (cap_c, *cells) binning —
+                    # apply_cell pairs within slot columns directly
+                    # (no argsort, no flat gathers)
+                    species_data[ispec] = (
+                        {kk: v.reshape(shp) for kk, v in data.items()},
+                        alive.reshape(shp))
+                else:
+                    # flatten every non-mesh axis: collisions only modify
+                    # momenta in place, so the tiled (ntx, nty, cap_t)
+                    # layout can run the flat per-device pairing unchanged
+                    species_data[ispec] = (
+                        {kk: v.reshape(-1) for kk, v in data.items()},
+                        alive.reshape(-1))
+            out = (col.apply_cell if cell else col.apply_local)(
+                species_data, dt, dkey)
             result = []
             for ispec in ispecs:
                 lead, shp = caps[ispec]

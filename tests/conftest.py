@@ -39,6 +39,47 @@ import gc
 import pytest
 
 
+def pytest_xdist_auto_num_workers(config):
+    """-n auto budget: each worker runs an 8-virtual-device XLA client
+    whose collective rendezvous starves under CPU oversubscription
+    (observed as worker aborts in sim.run) — one worker per real core."""
+    return max(1, os.cpu_count() or 1)
+
+
+@pytest.fixture(autouse=True)
+def _xdist_cpu_budget():
+    """Under an explicit -n N with N > the core budget, serialize test
+    bodies through a cross-process flock semaphore: 8 workers x 8 device
+    threads on one core miss even the raised collective timeouts above.
+    Workers still pipeline collection/setup; only test bodies queue."""
+    if not os.environ.get("PYTEST_XDIST_WORKER"):
+        yield
+        return
+    import fcntl
+    import tempfile
+    import time as _time
+    budget = max(1, os.cpu_count() or 1)
+    base = os.path.join(tempfile.gettempdir(),
+                        "lambdapic_xdist_slot")
+    fd = None
+    while fd is None:
+        for slot in range(budget):
+            f = open(f"{base}{slot}.lock", "a+")
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                fd = f
+                break
+            except OSError:
+                f.close()
+        else:
+            _time.sleep(0.05)
+    try:
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        fd.close()
+
+
 @pytest.fixture(autouse=True)
 def _clear_jax_caches():
     """Every Simulation test compiles fresh multi-device executables; without

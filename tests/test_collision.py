@@ -275,3 +275,163 @@ def test_inter_mixed_orientation_cells():
     assert ch1.all() and ch2.all()
     e1 = energy(out[0], a1, m_e) + energy(out[1], a2, m_e)
     np.testing.assert_allclose(e1, e0, rtol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# cell-layout pairing (Collision.apply_cell): same reference semantics
+# (collision/cpu.py:22-134) on (cap_c, nx, ny) cell-binned arrays
+# ----------------------------------------------------------------------
+
+def _bin_cells(data, alive, nx, ny, cap):
+    """Bin flat test particles into (cap, nx, ny) arrays by cell index
+    (= round(x), round(y)); fails the test if a cell overflows cap."""
+    n = int(np.asarray(alive).shape[0])
+    out = {k: np.zeros((cap, nx, ny)) for k in data}
+    out["inv_gamma"] = np.ones((cap, nx, ny))
+    a = np.zeros((cap, nx, ny), bool)
+    fill = np.zeros((nx, ny), int)
+    x = np.asarray(data["x"])
+    y = np.asarray(data["y"])
+    for i in range(n):
+        if not np.asarray(alive)[i]:
+            continue
+        ix, iy = int(round(x[i])), int(round(y[i]))
+        s = fill[ix, iy]
+        assert s < cap, "test cell overflow; raise cap"
+        for k in data:
+            out[k][s, ix, iy] = np.asarray(data[k])[i]
+        a[s, ix, iy] = True
+        fill[ix, iy] += 1
+    return ({k: jnp.asarray(v) for k, v in out.items()}, jnp.asarray(a))
+
+
+def _cell_energy(d, a, m):
+    g = 1.0 / np.asarray(d["inv_gamma"])
+    w = np.asarray(d["w"])
+    return float((w * g * m)[np.asarray(a)].sum())
+
+
+def test_cell_intra_conserves_energy_momentum():
+    grid = make_grid()
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 0),),
+                          species_mq=((m_e, -qe),),
+                          cell_vol=1e-18, lnLambda=2.0)
+    col = Collision(cfg, grid)
+    flat, aflat = make_particles(1600, 8, 8)
+    data, alive = _bin_cells(flat, aflat, 8, 8, cap=64)
+    e0 = _cell_energy(data, alive, m_e)
+    p0 = [float((np.asarray(data["w"]) * np.asarray(data[k])
+                 )[np.asarray(alive)].sum()) for k in ("ux", "uy", "uz")]
+    out = col.apply_cell({0: (data, alive)}, dt=1e-15,
+                         key=jax.random.PRNGKey(0))[0]
+    for k in ("ux", "uy", "uz", "inv_gamma"):
+        assert np.isfinite(np.asarray(out[k])).all()
+    e1 = _cell_energy(out, alive, m_e)
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
+    p1 = [float((np.asarray(out["w"]) * np.asarray(out[k])
+                 )[np.asarray(alive)].sum()) for k in ("ux", "uy", "uz")]
+    scale = np.abs(np.asarray(flat["ux"])).mean() * 1e10
+    np.testing.assert_allclose(p1, p0, atol=1e-9 * scale)
+    assert not np.allclose(np.asarray(out["ux"]), np.asarray(data["ux"]))
+
+
+def test_cell_pairing_parity_with_flat_path():
+    """Pairing-structure parity vs apply_local: the set of particles
+    that collide is fully determined by the per-cell counts (intra: all
+    alive in cells with n >= 2; inter: every particle of both sides in
+    cells where both are populated), so the per-cell changed-momentum
+    counts must match the flat path exactly, and both conserve energy."""
+    grid = make_grid(4, 4)
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 0),
+                                 CollisionPairCfg(0, 1)),
+                          species_mq=((m_e, -qe), (1836 * m_e, qe)),
+                          cell_vol=1e-18, lnLambda=20.0)
+    col = Collision(cfg, grid)
+    rng = np.random.default_rng(42)
+    # ragged per-cell counts incl. empty, single, odd and even cells
+    flat1, a1 = make_particles(57, 4, 4, seed=3)
+    flat2, a2 = make_particles(23, 4, 4, seed=4)
+    out_flat = col.apply_local({0: (dict(flat1), a1), 1: (dict(flat2), a2)},
+                               dt=1e-13, key=jax.random.PRNGKey(7))
+    cell1, ca1 = _bin_cells(flat1, a1, 4, 4, cap=32)
+    cell2, ca2 = _bin_cells(flat2, a2, 4, 4, cap=32)
+    out_cell = col.apply_cell({0: (cell1, ca1), 1: (cell2, ca2)},
+                              dt=1e-13, key=jax.random.PRNGKey(7))
+
+    def changed_per_cell_flat(out, ref, alive, nx=4, ny=4):
+        # exact != : a collided particle's ux changes bitwise (cosX != 1
+        # for any u_s > 0); isclose would misclassify small-angle events
+        ch = ((np.asarray(out["ux"]) != np.asarray(ref["ux"]))
+              & np.asarray(alive))
+        cnt = np.zeros((nx, ny), int)
+        for i in np.nonzero(ch)[0]:
+            cnt[int(round(float(np.asarray(ref["x"])[i]))),
+                int(round(float(np.asarray(ref["y"])[i])))] += 1
+        return cnt
+
+    def changed_per_cell_cell(out, ref, alive):
+        ch = ((np.asarray(out["ux"]) != np.asarray(ref["ux"]))
+              & np.asarray(alive))
+        return ch.sum(axis=0)
+
+    for ispec, (flat, af, celld, ac) in (
+            (0, (flat1, a1, cell1, ca1)), (1, (flat2, a2, cell2, ca2))):
+        cf = changed_per_cell_flat(out_flat[ispec], flat, af)
+        cc = changed_per_cell_cell(out_cell[ispec], celld, ac)
+        np.testing.assert_array_equal(cf, cc)
+
+    e_flat = energy(out_flat[0], a1, m_e) + energy(out_flat[1], a2,
+                                                   1836 * m_e)
+    e_cell = (_cell_energy(out_cell[0], ca1, m_e)
+              + _cell_energy(out_cell[1], ca2, 1836 * m_e))
+    e0 = energy(flat1, a1, m_e) + energy(flat2, a2, 1836 * m_e)
+    np.testing.assert_allclose(e_flat, e0, rtol=1e-12)
+    np.testing.assert_allclose(e_cell, e0, rtol=1e-12)
+
+
+def test_cell_intra_odd_repairing():
+    """3 particles in one cell: all three scatter (last re-pairs first)."""
+    grid = make_grid(2, 2)
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 0),),
+                          species_mq=((m_e, -qe),),
+                          cell_vol=1e-18, lnLambda=20.0)
+    col = Collision(cfg, grid)
+    flat, af = _cell_particles(3)
+    data, alive = _bin_cells(flat, af, 2, 2, cap=4)
+    e0 = _cell_energy(data, alive, m_e)
+    out = col.apply_cell({0: (data, alive)}, dt=1e-13,
+                         key=jax.random.PRNGKey(3))[0]
+    ch = (~np.isclose(np.asarray(out["ux"]), np.asarray(data["ux"]))
+          & np.asarray(alive))
+    assert ch.sum() == 3, f"only {ch.sum()}/3 collided in an odd cell"
+    np.testing.assert_allclose(_cell_energy(out, alive, m_e), e0,
+                               rtol=1e-12)
+    # dead slots untouched
+    dead = ~np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(out["ux"])[dead],
+                                  np.asarray(data["ux"])[dead])
+
+
+def test_cell_inter_asymmetric_all_collide():
+    """9 vs 3 in one cell: all 9 big-side and all 3 small-side collide
+    (3 sequential rounds), energy conserved exactly at equal weights."""
+    grid = make_grid(2, 2)
+    cfg = CollisionConfig(pairs=(CollisionPairCfg(0, 1),),
+                          species_mq=((m_e, -qe), (m_e, -qe)),
+                          cell_vol=1e-18, lnLambda=20.0)
+    col = Collision(cfg, grid)
+    f1, a1 = _cell_particles(9, seed=1)
+    f2, a2 = _cell_particles(3, seed=2)
+    d1, c1 = _bin_cells(f1, a1, 2, 2, cap=16)
+    d2, c2 = _bin_cells(f2, a2, 2, 2, cap=16)
+    e0 = _cell_energy(d1, c1, m_e) + _cell_energy(d2, c2, m_e)
+    out = col.apply_cell({0: (d1, c1), 1: (d2, c2)}, dt=1e-13,
+                         key=jax.random.PRNGKey(4))
+    ch1 = (~np.isclose(np.asarray(out[0]["ux"]), np.asarray(d1["ux"]))
+           & np.asarray(c1))
+    ch2 = (~np.isclose(np.asarray(out[1]["ux"]), np.asarray(d2["ux"]))
+           & np.asarray(c2))
+    assert ch1.sum() == 9, f"only {ch1.sum()}/9 big-side collided"
+    assert ch2.sum() == 3, f"only {ch2.sum()}/3 small-side collided"
+    e1 = _cell_energy(out[0], c1, m_e) + _cell_energy(out[1], c2, m_e)
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
