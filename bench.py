@@ -299,9 +299,13 @@ def record_mode(args):
     def attach(result, tag):
         prev = holder.get("r")
         if prev is not None:
-            result.setdefault("extra", {})[
-                "prev_" + prev["extra"]["config"]] = {
-                    "value": prev["value"], "unit": prev["unit"]}
+            ex = result.setdefault("extra", {})
+            # carry every earlier phase's record forward
+            for k, v in prev.get("extra", {}).items():
+                if k.startswith("prev_"):
+                    ex.setdefault(k, v)
+            ex["prev_" + prev["extra"]["config"]] = {
+                "value": prev["value"], "unit": prev["unit"]}
         holder["r"] = result
 
     # phase 0: vacuum FDTD — cold-start-safe guaranteed record

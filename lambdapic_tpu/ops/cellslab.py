@@ -127,6 +127,11 @@ def slab_ok(nloc: Tuple[int, ...], cap: int,
     blk = cap * bx * trail * 4
     slab = 6 * (bx + 4) * trail * 4
     live = 85 if ndim == 3 else 45
+    if rows_mode_enabled(ndim, cap):
+        # row tail: the tap dictionaries live on (1, bx, ...) rows, so
+        # the gather/deposit live set shrinks by ~cap; the merge phase
+        # (~3 copies of every payload row) dominates instead
+        live = 45
     refs = (26 + 2 * extra_arrays) * blk   # in+out, double-buffered
     budget = _env_int("LAMBDAPIC_SLAB_VMEM_MB", 100) * 1024 * 1024
     return live * blk + refs + 3 * slab <= budget
@@ -137,6 +142,32 @@ def slab_enabled() -> bool:
     return os.environ.get("LAMBDAPIC_SLAB", "1") != "0"
 
 
+
+
+def rows_mode_enabled(ndim: int, cap: int) -> bool:
+    """Slot-occupancy packing + row-gated tail (LAMBDAPIC_SLAB_ROWS,
+    default OFF). When on, the merge phase front-packs alive slots per
+    cell (one extra Batcher pass) and the gather/Boris/deposit tail
+    runs as a fori_loop over slot rows bounded by the block's actual
+    last-alive-slot index. The bound is computed from the real
+    post-merge alive mask, so it stays correct even if the packing
+    invariant is ever broken by an external state edit. The reference's
+    strip-mined clean/dirty elimination (unified_pusher_2d.c:261-312)
+    exploits the same sparsity dynamically.
+
+    Measured on the 3D laser-target bench (round 4): 401 vs 435 Mpush/s
+    — a NET LOSS at the current whole-(ny, nz)-plane blocking, exactly
+    as the round-3 analysis predicted: one compressed cell anywhere in
+    an x-slab's plane forces that block's row bound to cap, so the
+    gating only bites in blocks the occupancy skip already handles.
+    Kept as an opt-in lever for configs with y/z-localized density
+    (and as the basis for a future y-chunked blocking, where per-chunk
+    bounds would make it pay)."""
+    import os
+    v = os.environ.get("LAMBDAPIC_SLAB_ROWS", "auto")
+    if v == "auto":
+        return False
+    return v != "0"
 
 
 def _skips_enabled() -> bool:
@@ -298,7 +329,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                       deltas: Sequence[float], g: int,
                       occ=None, sanitize: Sequence[int] = (),
                       rims_in=None, with_rho: bool = True,
-                      want_chi: bool = False):
+                      want_chi: bool = False, merge_axes=None,
+                      tail: bool = True, yz_edges=None):
     """Run half-push + migration(x,y[,z]) + gather + Boris + half push
     + deposit in one pallas kernel over x-slabs.
 
@@ -326,7 +358,19 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     momenta and the gathered E,B at the mid-step position, exactly the
     reference's _qed stage inputs — plus the matching pre-push
     inv_gamma (for the optical-depth decrement outside the kernel,
-    models/qed.py::_update_tau)."""
+    models/qed.py::_update_tau).
+
+    Multi-dispatch mode (y/z-split meshes; slab_species_step drives
+    it): ``merge_axes`` restricts this dispatch to a subset of the cell
+    axes (None = all; axis 0 implies the leading half push and the
+    cross-device x columns). A dispatch with ``tail=False`` returns
+    only (alive8, payloads, n_merged). Between dispatches the caller
+    ppermutes the post-merge edge columns of the next split axis across
+    the mesh — reproducing the corner-mover ordering the reference gets
+    from its sequential per-axis 8/26-neighbor exchange
+    (patch/patch.py:446-592) — and passes them as ``yz_edges``: one
+    entry per in-block axis, None (in-block wrap) or (lo_arrs, hi_arrs)
+    with arrs = [alive_i32, *payloads], coordinates pre-adjusted."""
     from jax.experimental.pallas import tpu as pltpu
 
     cap = alive8.shape[0]
@@ -365,32 +409,59 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     # (element-granular maps — x is an untiled dim there); 2D reads one
     # block-granular bx-row main block + one 8-row tail block (x is the
     # sublane dim in 2D: 1-row blocks are not legal TPU blocks)
-    n_ebr = (bx + 4) if ndim == 3 else 2
+    n_ebr = ((bx + 4) if ndim == 3 else 2) if tail else 0
     # in-kernel sublane offset of the wanted neighbor column inside the
     # fetched payload block (2D fetches 8-row blocks; see cspec_lo)
     coff_lo = 7 if ndim == 2 else 0
+    rows_mode = rows_mode_enabled(ndim, cap) and tail
+    yz_edges = (list(yz_edges) if yz_edges is not None
+                else [None] * (ndim - 1))
+    merge_axes = (tuple(range(ndim)) if merge_axes is None
+                  else tuple(merge_axes))
+    x_pass = 0 in merge_axes
+    n_earr = 1 + n_pay            # y/z edge arrays per side
 
     def kernel(*refs):
         qm_ref, occ_ref, refs = refs[0], refs[1], refs[2:]
+        mom_scr = refs[-1] if rows_mode else None
+        refs = refs[:-1] if rows_mode else refs
         ebc_refs = refs[0:n_ebr]
         refs = refs[n_ebr:]
         a_ref = refs[0]
-        ig_ref = refs[1]
-        p_refs = refs[2:2 + n_pay]
-        cl_refs = refs[2 + n_pay:2 + n_pay + n_arr]
-        ch_refs = refs[2 + n_pay + n_arr:2 + n_pay + 2 * n_arr]
-        el_refs = refs[2 + n_pay + 2 * n_arr:2 + n_pay + 3 * n_arr]
-        eh_refs = refs[2 + n_pay + 3 * n_arr:2 + n_pay + 4 * n_arr]
-        o = 2 + n_pay + 4 * n_arr
-        rims_in_ref = refs[o] if has_rims_in else None
-        o += 1 if has_rims_in else 0
-        out_a = refs[o]
-        out_p = refs[o + 1:o + 1 + n_pay]
-        out_ig = refs[o + 1 + n_pay]
-        out_rims = refs[o + 2 + n_pay]
-        out_m = refs[o + 3 + n_pay]
-        out_chi = refs[o + 4 + n_pay] if want_chi else None
-        out_ig0 = refs[o + 5 + n_pay] if want_chi else None
+        refs = refs[1:]
+        ig_ref = cl_refs = ch_refs = el_refs = eh_refs = None
+        if x_pass:
+            ig_ref = refs[0]
+            refs = refs[1:]
+        p_refs = refs[0:n_pay]
+        refs = refs[n_pay:]
+        if x_pass:
+            cl_refs = refs[0:n_arr]
+            ch_refs = refs[n_arr:2 * n_arr]
+            el_refs = refs[2 * n_arr:3 * n_arr]
+            eh_refs = refs[3 * n_arr:4 * n_arr]
+            refs = refs[4 * n_arr:]
+        yz_refs = []
+        for e in yz_edges:
+            if e is None:
+                yz_refs.append(None)
+            else:
+                yz_refs.append((refs[0:n_earr],
+                                refs[n_earr:2 * n_earr]))
+                refs = refs[2 * n_earr:]
+        rims_in_ref = refs[0] if (has_rims_in and tail) else None
+        refs = refs[1:] if (has_rims_in and tail) else refs
+        out_a = refs[0]
+        out_p = refs[1:1 + n_pay]
+        out_ig = out_rims = out_chi = out_ig0 = None
+        if tail:
+            out_ig = refs[1 + n_pay]
+            out_rims = refs[2 + n_pay]
+            out_m = refs[3 + n_pay]
+            out_chi = refs[4 + n_pay] if want_chi else None
+            out_ig0 = refs[5 + n_pay] if want_chi else None
+        else:
+            out_m = refs[1 + n_pay]
         i = pl.program_id(0)
         is_first = i == 0
         is_last = i == nbx - 1
@@ -454,28 +525,52 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             # ------------- read + half push + x keys -------------------
             alive_rows = [a_ref[a:a + 1].astype(jnp.int32) != 0
                           for a in range(cap)]
-            ig_rows = main_rows(ig_ref)
             pays = [main_rows(r) for r in p_refs]
-            pays = push_rows(alive_rows, ig_rows, pays)
             keys = []
-            for a in range(cap):
-                pr = pays[ci[0]][a]
-                iota_x = (lax.broadcasted_iota(jnp.int32, pr.shape, 1)
-                          + i * bx).astype(dtype)
-                local = pr - iota_x
-                out_hi = alive_rows[a] & (local >= 0.5)
-                out_lo = alive_rows[a] & (local < -0.5)
-                dead = 1 if (a % 2 == 0) else 3
-                keys.append(jnp.where(
-                    out_hi, 0, jnp.where(out_lo, 4,
-                                         jnp.where(alive_rows[a], 2,
-                                                   dead))
-                ).astype(jnp.int32))
+            if x_pass:
+                ig_rows = main_rows(ig_ref)
+                pays = push_rows(alive_rows, ig_rows, pays)
+                for a in range(cap):
+                    pr = pays[ci[0]][a]
+                    iota_x = (lax.broadcasted_iota(jnp.int32, pr.shape,
+                                                   1)
+                              + i * bx).astype(dtype)
+                    local = pr - iota_x
+                    out_hi = alive_rows[a] & (local >= 0.5)
+                    out_lo = alive_rows[a] & (local < -0.5)
+                    dead = 1 if (a % 2 == 0) else 3
+                    keys.append(jnp.where(
+                        out_hi, 0, jnp.where(out_lo, 4,
+                                             jnp.where(alive_rows[a], 2,
+                                                       dead))
+                    ).astype(jnp.int32))
+
+            def edge_strip(side_refs, cell_idx, ax):
+                """Strip rows + 5-way keys for a cross-device y/z edge
+                (coords pre-adjusted by the caller; keys relative to the
+                virtual cell just outside the block along cell axis
+                ``ax``)."""
+                al_l = [side_refs[0][a:a + 1] != 0 for a in range(cap)]
+                pv = [[side_refs[1 + p][a:a + 1] for a in range(cap)]
+                      for p in range(n_pay)]
+                ks = []
+                for a in range(cap):
+                    local = pv[ci[ax]][a] - jnp.asarray(cell_idx,
+                                                        dtype)
+                    out_hi = al_l[a] & (local >= 0.5)
+                    out_lo = al_l[a] & (local < -0.5)
+                    dead = 1 if (a % 2 == 0) else 3
+                    ks.append(jnp.where(
+                        out_hi, 0,
+                        jnp.where(out_lo, 4,
+                                  jnp.where(al_l[a], 2, dead))
+                    ).astype(jnp.int32))
+                return ks, pv
 
             # ------------- x pass (columns from neighbors) -------------
             abl = _ablate()
 
-            def write_state(al_rows, py, nm):
+            def write_state(al_rows, py, nm, pack=True):
                 """Sanitize + write the post-migration state to the
                 output refs. ids/weights are final here; positions,
                 momenta and inv_gamma are pre-gather values that
@@ -483,6 +578,28 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 double as the hand-off buffer between the branched merge
                 phase and the tail — Mosaic legalizes side-effecting
                 scf.if regions only, not value-returning ones)."""
+                if rows_mode:
+                    if pack:
+                        # slot-occupancy packing: one more Batcher pass
+                        # keyed alive-first restores the front-packed
+                        # invariant the row-gated tail exploits (pure
+                        # within-cell slot permutation — physics-
+                        # identical). Skipped on the frozen-merge path:
+                        # no movement preserves the previous packing.
+                        pkeys = [jnp.where(al_rows[a], 0,
+                                           1).astype(jnp.int32)
+                                 for a in range(cap)]
+                        pk, py = _sort_rows(ces, pkeys, py)
+                        al_rows = [k == 0 for k in pk]
+                    # momenta-any flag for the tail's frozen check (the
+                    # row tail never loads full momentum blocks; the
+                    # merge rows are already in registers here)
+                    mv_ = None
+                    for u in ui:
+                        for a in range(cap):
+                            m_ = al_rows[a] & (py[u][a] != 0)
+                            mv_ = m_ if mv_ is None else mv_ | m_
+                    mom_scr[0] = jnp.any(mv_).astype(jnp.int32)
                 alive_c = jnp.concatenate(al_rows, axis=0)
                 out_a[...] = alive_c.astype(jnp.uint8)
                 for p in range(n_pay):
@@ -494,28 +611,52 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 out_m[...] = prev + nm
 
             if "merge" not in abl:
-                skl, spl = strip_side(cl_refs, el_refs, is_first,
-                                      i * bx - 1, -1, coff_lo)
-                skh, sph = strip_side(ch_refs, eh_refs, is_last,
-                                      (i + 1) * bx, +1, 0)
+                if x_pass:
+                    skl, spl = strip_side(cl_refs, el_refs, is_first,
+                                          i * bx - 1, -1, coff_lo)
+                    skh, sph = strip_side(ch_refs, eh_refs, is_last,
+                                          (i + 1) * bx, +1, 0)
+                # cross-device y/z edge strips, hoisted for reuse by the
+                # skip check and the merge itself
+                yz_strips = []
+                for ax in range(1, ndim):
+                    if yz_refs[ax - 1] is None or ax not in merge_axes:
+                        yz_strips.append(None)
+                        continue
+                    lo_r, hi_r = yz_refs[ax - 1]
+                    klo_e, plo_e = edge_strip(lo_r, -1, ax)
+                    khi_e, phi_e = edge_strip(hi_r, other[ax - 1], ax)
+                    yz_strips.append((klo_e, plo_e, khi_e, phi_e))
 
                 def run_merge():
-                    al, py, nm = _merge_axis(
-                        ces, 1, keys, pays, skl, spl, skh, sph,
-                        merge_idx, jnp.zeros((), jnp.int32))
-                    # ------ y (and z) passes (in-block wrap) ------------
+                    if x_pass:
+                        al, py, nm = _merge_axis(
+                            ces, 1, keys, pays, skl, spl, skh, sph,
+                            merge_idx, jnp.zeros((), jnp.int32))
+                    else:
+                        al = list(alive_rows)
+                        py = [list(r) for r in pays]
+                        nm = jnp.zeros((), jnp.int32)
+                    # ------ y (and z) passes: in-block wrap, or cross-
+                    # device edge strips when the mesh splits the axis --
                     for ax in range(1, ndim):
+                        if ax not in merge_axes:
+                            continue
                         axis = 1 + ax
                         kk = _keys_from_pos(py[ci[ax]], al, axis)
-                        klo, khi = _wrap_cols(
-                            kk, axis, invalid=not periodic[ax - 1])
-                        plo, phi = [], []
-                        for p in range(n_pay):
-                            adj = other[ax - 1] if p == ci[ax] else None
-                            lo, hi = _wrap_cols(py[p], axis,
-                                                coord_adj=adj)
-                            plo.append(lo)
-                            phi.append(hi)
+                        if yz_refs[ax - 1] is not None:
+                            klo, plo, khi, phi = yz_strips[ax - 1]
+                        else:
+                            klo, khi = _wrap_cols(
+                                kk, axis, invalid=not periodic[ax - 1])
+                            plo, phi = [], []
+                            for p in range(n_pay):
+                                adj = other[ax - 1] if p == ci[ax] \
+                                    else None
+                                lo, hi = _wrap_cols(py[p], axis,
+                                                    coord_adj=adj)
+                                plo.append(lo)
+                                phi.append(hi)
                         al, py, nm = _merge_axis(
                             ces, axis, kk, py, klo, plo, khi, phi,
                             merge_idx, nm)
@@ -534,11 +675,15 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                     # reference's mismatch-only sort (CHANGELOG.md:28,
                     # sort/particle_sort.py) exploits the same inactivity
                     # dynamically.
+                    # movers along THIS dispatch's axes + strip arrivals
                     mv = None
-                    for a in range(cap):
-                        m_ = (keys[a] == 0) | (keys[a] == 4)
-                        mv = m_ if mv is None else mv | m_
+                    if x_pass:
+                        for a in range(cap):
+                            m_ = (keys[a] == 0) | (keys[a] == 4)
+                            mv = m_ if mv is None else mv | m_
                     for ax in range(1, ndim):
+                        if ax not in merge_axes:
+                            continue
                         axis = 1 + ax
                         for a in range(cap):
                             pr = pays[ci[ax]][a]
@@ -548,39 +693,53 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                             local = pr - idx
                             m_ = alive_rows[a] & ((local >= 0.5)
                                                   | (local < -0.5))
-                            mv = mv | m_
+                            mv = m_ if mv is None else mv | m_
                     arr = None
-                    for a in range(cap):
-                        s = (skl[a] == 0) | (skh[a] == 4)
-                        arr = s if arr is None else arr | s
-                    any_mv = jnp.any(mv) | jnp.any(arr)
+                    if x_pass:
+                        for a in range(cap):
+                            s = (skl[a] == 0) | (skh[a] == 4)
+                            arr = s if arr is None else arr | s
+                    for st in yz_strips:
+                        if st is None:
+                            continue
+                        klo_e, _, khi_e, _ = st
+                        for a in range(cap):
+                            s = (klo_e[a] == 0) | (khi_e[a] == 4)
+                            arr = s if arr is None else arr | s
+                    any_mv = jnp.any(mv)
+                    if arr is not None:
+                        any_mv = any_mv | jnp.any(arr)
 
                     pl.when(any_mv)(lambda: write_state(*run_merge()))
                     pl.when(jnp.logical_not(any_mv))(
                         lambda: write_state(alive_rows, pays,
-                                            jnp.zeros((), jnp.int32)))
+                                            jnp.zeros((), jnp.int32),
+                                            pack=False))
             else:
                 write_state(alive_rows, pays, jnp.zeros((), jnp.int32))
 
+            if not tail:
+                return      # dispatch A of the multi-dispatch split path
+
             # ---- re-read the post-migration state from the output refs
             # (written by exactly one branch above); keeps the merge
-            # phase's values out of the tail's live set
-            alive = out_a[...] != 0
-            blocks = [out_p[p][...] for p in range(n_pay)]
-
+            # phase's values out of the tail's live set. Row mode loads
+            # slot rows on demand inside the fori_loop instead.
             shp = (cap, bx) + tuple(other)
-            pos = [blocks[c] for c in ci]
-            ux0, uy0, uz0 = (blocks[u] for u in ui)
-            w = blocks[wi] if wi >= 0 else jnp.ones(shp, dtype)
             q = qm_ref[0]
             m = qm_ref[1]
-
-            iota = [
-                (lax.broadcasted_iota(jnp.int32, shp, 1)
-                 + i * bx).astype(dtype)
-            ] + [lax.broadcasted_iota(jnp.int32, shp, 2 + k).astype(dtype)
-                 for k in range(ndim - 1)]
-            dl = [pos[k] - iota[k] for k in range(ndim)]
+            if not rows_mode:
+                blocks = [out_p[p][...] for p in range(n_pay)]
+                pos = [blocks[c] for c in ci]
+                ux0, uy0, uz0 = (blocks[u] for u in ui)
+                w = blocks[wi] if wi >= 0 else jnp.ones(shp, dtype)
+                iota = [
+                    (lax.broadcasted_iota(jnp.int32, shp, 1)
+                     + i * bx).astype(dtype)
+                ] + [lax.broadcasted_iota(jnp.int32, shp,
+                                          2 + k).astype(dtype)
+                     for k in range(ndim - 1)]
+                dl = [pos[k] - iota[k] for k in range(ndim)]
 
             # ------------- gather + Boris + half push ------------------
             # field window (6, bx+4, ...) assembled from the direct
@@ -853,10 +1012,290 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                 for ox in _DOFF:
                                     rmw(3, ox, (s1x[ox] * pyz_r).sum(0))
 
+            def particle_tail_rows():
+                """Row-gated tail (rows_mode): gather + Boris + half
+                push + deposit as a fori_loop over slot rows, bounded by
+                the block's last alive slot index. With the merge's
+                front-packing, rows beyond the densest cell's occupancy
+                are never touched — at the 3D bench's ppc 2 / cap 4 that
+                halves the tail's VPU ops and payload I/O outside the
+                compressed sheath. Same closed forms as particle_tail,
+                on (1, bx, ...) rows; identical accumulation order per
+                row, so values match the cap-wide tail bitwise."""
+                out_ig[...] = jnp.ones(out_ig.shape, out_ig.dtype)
+                if want_chi:
+                    out_chi[...] = jnp.zeros(out_chi.shape, dtype)
+                    out_ig0[...] = jnp.ones(out_ig0.shape, dtype)
+                rims_seed()
+                av = out_a[...].astype(jnp.int32)
+                nrows = jnp.max(av * (lax.broadcasted_iota(
+                    jnp.int32, av.shape, 0) + 1))
+                shp_r = (1, bx) + tuple(other)
+                iota_r = [
+                    (lax.broadcasted_iota(jnp.int32, shp_r, 1)
+                     + i * bx).astype(dtype)
+                ] + [lax.broadcasted_iota(jnp.int32, shp_r,
+                                          2 + k).astype(dtype)
+                     for k in range(ndim - 1)]
+                # block dims = (cap, bx, *other): dslice on cap + ndim
+                # full trailing slices
+                trail = (slice(None),) * ndim
+
+                def row_body(a, carry):
+                    ridx = (pl.dslice(a, 1),) + trail
+                    posr = [out_p[c][ridx] for c in ci]
+                    ux0r = out_p[ui[0]][ridx]
+                    uy0r = out_p[ui[1]][ridx]
+                    uz0r = out_p[ui[2]][ridx]
+                    wr = (out_p[wi][ridx] if wi >= 0
+                          else jnp.ones(shp_r, dtype))
+                    dlr = [posr[k] - iota_r[k] for k in range(ndim)]
+                    taps = [{"g": {o: _m2(o - d) for o in _GOFF},
+                             "h": {o: _m2(o + 0.5 - d) for o in _HOFF}}
+                            for d in dlr]
+                    comps = _COMPS2 if ndim == 2 else _COMPS3
+                    eb = []
+                    for comp, *stag in comps:
+                        acc = jnp.zeros(shp_r, dtype)
+                        if ndim == 2:
+                            for oy, ty in taps[1][stag[1]].items():
+                                for ox, tx in taps[0][stag[0]].items():
+                                    f = ebw[comp, g + ox:g + ox + bx,
+                                            g + oy:g + oy + other[0]]
+                                    acc = acc + tx * ty * f[None]
+                        else:
+                            for oy, ty in taps[1][stag[1]].items():
+                                for oz, tz in taps[2][stag[2]].items():
+                                    tyz = ty * tz
+                                    for ox, tx in \
+                                            taps[0][stag[0]].items():
+                                        f = ebw[comp,
+                                                g + ox:g + ox + bx,
+                                                g + oy:g + oy + other[0],
+                                                g + oz:g + oz + other[1]]
+                                        acc = acc + tx * tyz * f[None]
+                        eb.append(acc)
+
+                    if want_chi:
+                        ig0r = jax.lax.rsqrt(
+                            1.0 + ux0r * ux0r + uy0r * uy0r
+                            + uz0r * uz0r)
+                        gam0 = 1.0 / ig0r
+                        exp_, eyp_, ezp_, bxp_, byp_, bzp_ = eb
+                        cc_ = jnp.asarray(c_light, dtype)
+                        val = ((gam0 * exp_
+                                + (uy0r * bzp_ - uz0r * byp_) * cc_)**2
+                               + (gam0 * eyp_
+                                  + (uz0r * bxp_ - ux0r * bzp_) * cc_)**2
+                               + (gam0 * ezp_
+                                  + (ux0r * byp_ - uy0r * bxp_) * cc_)**2
+                               - (ux0r * exp_ + uy0r * eyp_
+                                  + uz0r * ezp_)**2)
+                        out_chi[ridx] = (
+                            jnp.asarray(_CHI_FACTOR, dtype)
+                            * jnp.sqrt(jnp.maximum(val, 0.0)))
+                        out_ig0[ridx] = ig0r
+
+                    ux4, uy4, uz4, ig2 = _boris(ux0r, uy0r, uz0r, *eb,
+                                                q, m, dt, dtype)
+                    u4 = (ux4, uy4, uz4)
+                    posn = [posr[k] + (0.5 * cdt[k]) * u4[k] * ig2
+                            for k in range(ndim)]
+                    for k in range(ndim):
+                        out_p[ci[k]][ridx] = posn[k]
+                    for k in range(3):
+                        out_p[ui[k]][ridx] = u4[k]
+                    out_ig[ridx] = ig2
+
+                    # --------- Esirkepov deposit (row) ------------------
+                    v = [u4[k] * ig2 * cdt[k] for k in range(ndim)]
+                    dln = [posn[k] - iota_r[k] for k in range(ndim)]
+                    S0F = _DOFF[1:-1]
+                    RUNF = _DOFF[:-1]
+                    if "deposit" in abl:
+                        return carry
+                    if ndim == 2:
+                        f_cd = jnp.asarray(q / vol, dtype) * wr
+                        f_dx = jnp.asarray(q / (deltas[1] * dt),
+                                           dtype) * wr
+                        f_dy = jnp.asarray(q / (deltas[0] * dt),
+                                           dtype) * wr
+                        vz_c = uz4 * ig2 * jnp.asarray(c_light, dtype)
+                        cvz = f_cd * vz_c
+                        s0x = {o: _m2(o - (dln[0] - 0.5 * v[0]))
+                               for o in S0F}
+                        s1x = {o: _m2(o - (dln[0] + 0.5 * v[0]))
+                               for o in _DOFF}
+                        s0y = {o: _m2(o - (dln[1] - 0.5 * v[1]))
+                               for o in S0F}
+                        s1y = {o: _m2(o - (dln[1] + 0.5 * v[1]))
+                               for o in _DOFF}
+                        dsx_d = {o: (s1x[o] - s0x[o] if o in s0x
+                                     else s1x[o]) for o in _DOFF}
+                        dsy_d = {o: (s1y[o] - s0y[o] if o in s0y
+                                     else s1y[o]) for o in _DOFF}
+                        fx_run = {}
+                        acc = None
+                        for o in RUNF:
+                            acc = dsx_d[o] if acc is None \
+                                else acc + dsx_d[o]
+                            fx_run[o] = -f_dx * acc
+                        gy_run = {}
+                        acc = None
+                        for o in RUNF:
+                            acc = dsy_d[o] if acc is None \
+                                else acc + dsy_d[o]
+                            gy_run[o] = -f_dy * acc
+                        ny = other[0]
+
+                        def rmw2(comp, ox, oy, val):
+                            cur = out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                                           g + oy:g + oy + ny]
+                            out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                                     g + oy:g + oy + ny] = cur + val
+
+                        for ox in _DOFF:
+                            dsx = dsx_d[ox]
+                            ax_ = (s0x[ox] + 0.5 * dsx if ox in s0x
+                                   else 0.5 * dsx)
+                            for oy in _DOFF:
+                                dsy = dsy_d[oy]
+                                by_t = (s0y[oy] + 0.5 * dsy if oy in s0y
+                                        else 0.5 * dsy)
+                                if ox in RUNF:
+                                    rmw2(0, ox, oy,
+                                         (fx_run[ox] * by_t)[0])
+                                if oy in RUNF:
+                                    rmw2(1, ox, oy,
+                                         (ax_ * gy_run[oy])[0])
+                                rmw2(2, ox, oy,
+                                     (cvz * (ax_ * by_t
+                                             + dsx * dsy
+                                             * (1.0 / 12.0)))[0])
+                                if with_rho:
+                                    rmw2(3, ox, oy,
+                                         (f_cd * s1x[ox] * s1y[oy])[0])
+                        return carry
+
+                    f_cd = jnp.asarray(q / vol, dtype) * wr
+                    fd = [jnp.asarray(q / (vol / deltas[k]) / dt,
+                                      dtype) * wr for k in range(3)]
+                    s0x = {o: _m2(o - (dln[0] - 0.5 * v[0])) for o in S0F}
+                    s1x = {o: _m2(o - (dln[0] + 0.5 * v[0]))
+                           for o in _DOFF}
+                    dsx = {o: (s1x[o] - s0x[o] if o in s0x else s1x[o])
+                           for o in _DOFF}
+                    ax_ = {o: (s0x[o] + 0.5 * dsx[o] if o in s0x
+                               else 0.5 * dsx[o]) for o in _DOFF}
+                    cx_ = {o: (0.5 * s0x[o] + dsx[o] * (1.0 / 3.0)
+                               if o in s0x else dsx[o] * (1.0 / 3.0))
+                           for o in _DOFF}
+                    runx = {}
+                    acc = None
+                    for o in RUNF:
+                        acc = dsx[o] if acc is None else acc + dsx[o]
+                        runx[o] = acc
+                    del s0x, dsx, acc
+
+                    dy_, vy_ = dln[1], v[1]
+                    dz_, vz_ = dln[2], v[2]
+                    ny, nz = other
+
+                    def build_z():
+                        zt = {}
+                        acc_z = None
+                        for oz in _DOFF:
+                            s0z_h = (_m2(oz - (dz_ - 0.5 * vz_))
+                                     if oz in S0F else None)
+                            s1z_h = _m2(oz - (dz_ + 0.5 * vz_))
+                            dsz_h = (s1z_h - s0z_h if s0z_h is not None
+                                     else s1z_h)
+                            runz_h = None
+                            if oz in RUNF:
+                                acc_z = (dsz_h if acc_z is None
+                                         else acc_z + dsz_h)
+                                runz_h = acc_z
+                            zt[oz] = (s0z_h, s1z_h, dsz_h, runz_h)
+                        return zt
+
+                    # same z-hoist policy as the cap-wide tail: at
+                    # bx > 2 the hoisted dictionaries' liveness across
+                    # the whole offset nest costs more VMEM than the
+                    # recompute costs VPU ops
+                    z_hoist_r = _env_int("LAMBDAPIC_SLAB_ZHOIST",
+                                         1 if bx <= 2 else 0)
+                    z_taps = build_z() if z_hoist_r else None
+                    acc_y = None
+                    for oy in _DOFF:
+                        s0y = _m2(oy - (dy_ - 0.5 * vy_)) if oy in S0F \
+                            else None
+                        s1y = _m2(oy - (dy_ + 0.5 * vy_))
+                        dsy = s1y - s0y if s0y is not None else s1y
+                        ay_ = s0y + 0.5 * dsy if s0y is not None \
+                            else 0.5 * dsy
+                        cy_ = (0.5 * s0y + dsy * (1.0 / 3.0)
+                               if s0y is not None
+                               else dsy * (1.0 / 3.0))
+                        runy = None
+                        if oy in RUNF:
+                            acc_y = dsy if acc_y is None else acc_y + dsy
+                            runy = acc_y
+                        zt_r = z_taps if z_hoist_r else build_z()
+                        for oz in _DOFF:
+                            s0z, s1z, dsz, runz = zt_r[oz]
+                            pyz_jx = (-(ay_ * s0z + cy_ * dsz) * fd[0]
+                                      if s0z is not None
+                                      else -(cy_ * dsz) * fd[0])
+                            pyz_jy = (-(runy * s0z) * fd[1]
+                                      if runy is not None
+                                      and s0z is not None else None)
+                            pyz_jy2 = (-(runy * dsz) * fd[1]
+                                       if runy is not None else None)
+                            pyz_jz = (-(runz * s0y) * fd[2]
+                                      if runz is not None
+                                      and s0y is not None else None)
+                            pyz_jz2 = (-(runz * dsy) * fd[2]
+                                       if runz is not None else None)
+                            pyz_r = ((s1y * s1z) * f_cd if with_rho
+                                     else None)
+
+                            def rmw(comp, ox, val):
+                                cur = out_rims[comp, 0,
+                                               2 + ox:2 + ox + bx,
+                                               g + oy:g + oy + ny,
+                                               g + oz:g + oz + nz]
+                                out_rims[comp, 0, 2 + ox:2 + ox + bx,
+                                         g + oy:g + oy + ny,
+                                         g + oz:g + oz + nz] = cur + val
+
+                            for ox in RUNF:
+                                rmw(0, ox, (runx[ox] * pyz_jx)[0])
+                            if pyz_jy2 is not None:
+                                for ox in _DOFF:
+                                    jy_c = (ax_[ox] * pyz_jy
+                                            + cx_[ox] * pyz_jy2
+                                            if pyz_jy is not None
+                                            else cx_[ox] * pyz_jy2)
+                                    rmw(1, ox, jy_c[0])
+                            if pyz_jz2 is not None:
+                                for ox in _DOFF:
+                                    jz_c = (ax_[ox] * pyz_jz
+                                            + cx_[ox] * pyz_jz2
+                                            if pyz_jz is not None
+                                            else cx_[ox] * pyz_jz2)
+                                    rmw(2, ox, jz_c[0])
+                            if with_rho:
+                                for ox in _DOFF:
+                                    rmw(3, ox, (s1x[ox] * pyz_r)[0])
+                    return carry
+
+                lax.fori_loop(0, nrows, row_body, jnp.int32(0))
+
             frozen_ok = (_skips_enabled() and not abl and not with_rho
                          and ebw is not None)
+            tail_fn = particle_tail_rows if rows_mode else particle_tail
             if not frozen_ok:
-                particle_tail()
+                tail_fn()
             else:
                 # Frozen-region skip: all alive momenta exactly zero AND
                 # the field window exactly zero (a causally untouched
@@ -864,9 +1303,14 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 # Boris is a no-op (ig = 1), positions are unchanged,
                 # and every Esirkepov ds vanishes, so the particle tail
                 # is an exact identity with zero current contribution.
-                act = ((ux0 != 0).any() | (uy0 != 0).any()
-                       | (uz0 != 0).any() | (ebw != 0).any())
-                pl.when(act)(particle_tail)
+                if rows_mode:
+                    # momenta-any flag stashed by write_state (the row
+                    # tail never loads full momentum blocks)
+                    act = (mom_scr[0] != 0) | (ebw != 0).any()
+                else:
+                    act = ((ux0 != 0).any() | (uy0 != 0).any()
+                           | (uz0 != 0).any() | (ebw != 0).any())
+                pl.when(act)(tail_fn)
 
                 @pl.when(jnp.logical_not(act))
                 def _frozen():
@@ -889,12 +1333,13 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             for p in range(n_pay):
                 out_p[p][...] = jnp.zeros(out_p[p].shape,
                                           out_p[p].dtype)
-            out_ig[...] = jnp.ones(out_ig.shape, out_ig.dtype)
-            if want_chi:
-                out_chi[...] = jnp.zeros(out_chi.shape, dtype)
-                out_ig0[...] = jnp.ones(out_ig0.shape, dtype)
-            out_rims[...] = (rims_in_ref[...] if has_rims_in
-                             else jnp.zeros(out_rims.shape, dtype))
+            if tail:
+                out_ig[...] = jnp.ones(out_ig.shape, out_ig.dtype)
+                if want_chi:
+                    out_chi[...] = jnp.zeros(out_chi.shape, dtype)
+                    out_ig0[...] = jnp.ones(out_ig0.shape, dtype)
+                out_rims[...] = (rims_in_ref[...] if has_rims_in
+                                 else jnp.zeros(out_rims.shape, dtype))
             out_m[...] = jnp.where(is_first, 0, out_m[...])
 
     blk = (cap, bx) + tuple(other)
@@ -946,6 +1391,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             (6, 1) + opad,
             lambda *a, _k=k: (0, a[0] * bx + _k) + zeros)
             for k in range(bx + 4)]
+    if not tail:
+        ebspecs = []      # dispatch A never touches the fields
     # channel-first rims: the fold's flatten is then a pure reshape
     # (no (nb, C) -> (C, nb) relayout; see cellpallas._fold_cfirst)
     rims_shape = (ncomp, nbx, bx + 4) + opad
@@ -954,44 +1401,80 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     cnt_spec = pl.BlockSpec((8, 128), lambda *a: (0, 0))
 
     arrs = [alive8, ig] + [data[nm] for nm in names]
-    in_specs = (ebspecs + [mspec, mspec] + [mspec] * n_pay
-                + [cspec_lo] * n_arr + [cspec_hi] * n_arr
-                + [espec] * n_arr + [espec] * n_arr
-                + ([rspec] if has_rims_in else []))
-    out_specs = ([mspec] + [mspec] * n_pay + [mspec, rspec, cnt_spec]
-                 + ([mspec, mspec] if want_chi else []))
-    out_shape = ([jax.ShapeDtypeStruct(alive8.shape, jnp.uint8)]
-                 + [jax.ShapeDtypeStruct(data[nm].shape, data[nm].dtype)
-                    for nm in names]
-                 + [jax.ShapeDtypeStruct(alive8.shape, dtype),
-                    jax.ShapeDtypeStruct(rims_shape, dtype),
-                    jax.ShapeDtypeStruct((8, 128), jnp.int32)]
-                 + ([jax.ShapeDtypeStruct(alive8.shape, dtype)] * 2
-                    if want_chi else []))
+    in_specs = list(ebspecs) + [mspec]
+    args = [alive8]
+    if x_pass:
+        in_specs.append(mspec)
+        args.append(ig)
+    in_specs += [mspec] * n_pay
+    args += [data[nm] for nm in names]
+    if x_pass:
+        in_specs += ([cspec_lo] * n_arr + [cspec_hi] * n_arr
+                     + [espec] * n_arr + [espec] * n_arr)
+        args += [*arrs, *arrs, *edges_lo, *edges_hi]
+    for ax in range(1, ndim):
+        e = yz_edges[ax - 1]
+        if e is None:
+            continue
+        lo_arrs, hi_arrs = e
+        eblk = [cap, bx] + list(other)
+        eblk[1 + ax] = 1
+        zeros_e = (0,) * (ndim - 1)
+        yspec = pl.BlockSpec(tuple(eblk),
+                             lambda *a: (0, a[0]) + zeros_e)
+        in_specs += [yspec] * (2 * n_earr)
+        args += list(lo_arrs) + list(hi_arrs)
+    if has_rims_in and tail:
+        in_specs.append(rspec)
+        args.append(rims_in)
+    if tail:
+        out_specs = ([mspec] + [mspec] * n_pay
+                     + [mspec, rspec, cnt_spec]
+                     + ([mspec, mspec] if want_chi else []))
+        out_shape = ([jax.ShapeDtypeStruct(alive8.shape, jnp.uint8)]
+                     + [jax.ShapeDtypeStruct(data[nm].shape,
+                                             data[nm].dtype)
+                        for nm in names]
+                     + [jax.ShapeDtypeStruct(alive8.shape, dtype),
+                        jax.ShapeDtypeStruct(rims_shape, dtype),
+                        jax.ShapeDtypeStruct((8, 128), jnp.int32)]
+                     + ([jax.ShapeDtypeStruct(alive8.shape, dtype)] * 2
+                        if want_chi else []))
+    else:
+        out_specs = [mspec] + [mspec] * n_pay + [cnt_spec]
+        out_shape = ([jax.ShapeDtypeStruct(alive8.shape, jnp.uint8)]
+                     + [jax.ShapeDtypeStruct(data[nm].shape,
+                                             data[nm].dtype)
+                        for nm in names]
+                     + [jax.ShapeDtypeStruct((8, 128), jnp.int32)])
+    in_specs = tuple(in_specs)
 
     kw = _compile_kwargs()
     if not _use_interpret():
         from jax.experimental.pallas import tpu as pltpu2
+        # 120 of the 128 MB physical VMEM: the QED 2D slab (3 extra
+        # payloads + chi/ig_pre outputs) sits at 112.3 MB scoped
         kw = {"compiler_params": pltpu2.CompilerParams(
-            vmem_limit_bytes=max(112, _env_int("LAMBDAPIC_SLAB_VMEM_MB",
-                                               112)) * 1024 * 1024)}
+            vmem_limit_bytes=max(120, _env_int("LAMBDAPIC_SLAB_VMEM_MB",
+                                               120)) * 1024 * 1024)}
     if occ is None:
         occ = jnp.ones((nbx,), jnp.int32)
     qm = jnp.asarray([q, m], jnp.float64 if dtype == jnp.float64
                      else jnp.float32)
     call_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(nbx,),
-        in_specs=in_specs, out_specs=out_specs))
+        in_specs=in_specs, out_specs=out_specs,
+        # rows mode: SMEM hand-off of the momenta-any flag between the
+        # branched merge phase and the row tail's frozen check
+        scratch_shapes=([pltpu.SMEM((1,), jnp.int32)]
+                        if rows_mode else [])))
 
     outs = pl.pallas_call(kernel, out_shape=out_shape, **call_kw,
-                          **kw)(qm, occ, *([eb_pad] * n_ebr),
-                                alive8, ig,
-                                *[data[nm] for nm in names],
-                                *arrs, *arrs,        # lo / hi columns
-                                *edges_lo, *edges_hi,
-                                *([rims_in] if has_rims_in else []))
+                          **kw)(qm, occ, *([eb_pad] * n_ebr), *args)
     alive_out = outs[0]
     pays_out = list(outs[1:1 + n_pay])
+    if not tail:
+        return alive_out, pays_out, outs[1 + n_pay][0, 0]
     ig_out = outs[1 + n_pay]
     rims = outs[2 + n_pay]
     n_merged = outs[3 + n_pay][0, 0]
@@ -1097,13 +1580,97 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                                hi_any.reshape(1)])
         occ = (blk_any | ext[0:nx:bx] | ext[bx + 1::bx]).astype(jnp.int32)
 
-    outs = unified_cell_step(
-        eb_pad, alive8, ig, data, edges_lo, edges_hi, names=names,
-        merge_idx=merge_idx, coords=coords, periodic=periodic,
-        q=q, m=m, dt=dt, deltas=deltas, g=g, occ=occ, sanitize=sanitize,
-        rims_in=rims_in, with_rho=with_rho, want_chi=want_chi)
-    alive_out, pays_out, ig_out, rims, n_lost = outs[:5]
+    kw = dict(names=names, merge_idx=merge_idx, coords=coords,
+              periodic=periodic, q=q, m=m, dt=dt, deltas=deltas, g=g,
+              sanitize=sanitize, with_rho=with_rho)
+    split_axes = [k for k in range(1, ndim) if plan[k][1].size > 1]
+    if not split_axes:
+        outs = unified_cell_step(
+            eb_pad, alive8, ig, data, edges_lo, edges_hi, occ=occ,
+            rims_in=rims_in, want_chi=want_chi, **kw)
+        alive_out, pays_out, ig_out, rims, n_lost = outs[:5]
+    else:
+        # Multi-dispatch split path (y/z-split meshes): each split
+        # in-block axis starts a new dispatch whose edge strips are
+        # ppermuted from the PREVIOUS dispatch's post-merge state —
+        # the reference's sequential per-axis neighbor exchange
+        # (patch/sync_particles_2d.c) ordering, so corner movers
+        # (x then y then z in one step) land exactly.
+        groups = [[0]]
+        for ax in range(1, ndim):
+            if ax in split_axes:
+                groups.append([ax])
+            else:
+                groups[-1].append(ax)
 
+        def _yz_edge(alive8_c, data_c, ax):
+            """(lo_arrs, hi_arrs) = the mesh-neighbor edge columns of
+            cell axis ``ax``, coordinate-adjusted, alive as int32."""
+            spec = plan[ax][1]
+            n_ax = plan[ax][0]
+            aaxis = 1 + ax
+            upP, dnP = _mig_perms(spec.size)
+            idev = lax.axis_index(spec.axis_name)
+            coord = plan[ax][2]
+            los, his = [], []
+            for a_i, arr in enumerate(
+                    [alive8_c] + [data_c[k] for k in names]):
+                lo = lax.slice_in_dim(arr, n_ax - 1, n_ax, axis=aaxis)
+                hi = lax.slice_in_dim(arr, 0, 1, axis=aaxis)
+                lo = lax.ppermute(lo, spec.axis_name, upP)
+                hi = lax.ppermute(hi, spec.axis_name, dnP)
+                if a_i == 0:
+                    if not spec.periodic:
+                        lo = jnp.where(idev == 0, jnp.zeros_like(lo),
+                                       lo)
+                        hi = jnp.where(idev == spec.size - 1,
+                                       jnp.zeros_like(hi), hi)
+                    lo = lo.astype(jnp.int32)
+                    hi = hi.astype(jnp.int32)
+                elif names[a_i - 1] == coord:
+                    lo = lo - jnp.asarray(n_ax, lo.dtype)
+                    hi = hi + jnp.asarray(n_ax, hi.dtype)
+                los.append(lo)
+                his.append(hi)
+            return los, his
+
+        def _occ_of(alive8_c, extra_cols):
+            if not skip_empty:
+                return None
+            acols_ = (alive8_c != 0).any(
+                axis=(0,) + tuple(range(2, 1 + ndim)))
+            for col in extra_cols:
+                acols_ = acols_ | (col != 0).any(
+                    axis=(0,) + tuple(range(2, 1 + ndim)))
+            return acols_.reshape(nbx, bx).any(1).astype(jnp.int32)
+
+        n_lost = jnp.int32(0)
+        cur_alive8, cur_data, cur_ig = alive8, dict(data), ig
+        for gi, grp in enumerate(groups):
+            last = gi == len(groups) - 1
+            if gi == 0:
+                yz = None
+                occ_g = occ
+            else:
+                e_ax = grp[0]
+                yz = [None] * (ndim - 1)
+                yz[e_ax - 1] = _yz_edge(cur_alive8, cur_data, e_ax)
+                occ_g = _occ_of(cur_alive8, yz[e_ax - 1][0][:1]
+                                + yz[e_ax - 1][1][:1])
+            outs = unified_cell_step(
+                eb_pad, cur_alive8, cur_ig, cur_data,
+                edges_lo if gi == 0 else [],
+                edges_hi if gi == 0 else [],
+                occ=occ_g, rims_in=rims_in if last else None,
+                want_chi=want_chi and last, merge_axes=tuple(grp),
+                tail=last, yz_edges=yz, **kw)
+            if last:
+                alive_out, pays_out, ig_out, rims, nm = outs[:5]
+            else:
+                alive_out, pays_out, nm = outs
+                cur_alive8 = alive_out
+                cur_data = {**cur_data, **dict(zip(names, pays_out))}
+            n_lost = n_lost + nm
     data = {**data, **dict(zip(names, pays_out))}
     data["inv_gamma"] = ig_out
     alive = alive_out != 0
@@ -1279,11 +1846,19 @@ def slab_reject_reason(plan, nloc, cap, switches, sp, cell_migration: str,
               "current_deposition"):
         if not switches[k]:
             return f"component {k!r} disabled via set_enabled"
-    # mesh may be split along x only (in-block wrap along y/z)
+    # y/z-split meshes: 3D takes the multi-dispatch slab path (one
+    # dispatch per split axis, edges ppermuted between); 2D falls back
+    # (a (cap, bx, 1) lane-1 edge block buys nothing over the per-stage
+    # kernels there)
     if any(p[1].size > 1 for p in plan[1:]):
         ax = next("yz"[i] for i, p in enumerate(plan[1:]) if p[1].size > 1)
-        return (f"mesh splits the {ax} axis (slab re-binning wraps y/z "
-                "in-block; shard x instead, or use the per-stage kernels)")
+        if len(nloc) == 2:
+            return (f"2D mesh splits the {ax} axis (slab re-binning "
+                    "wraps y in-block; shard x instead, or use the "
+                    "per-stage kernels)")
+        if not splityz_enabled():
+            return (f"mesh splits the {ax} axis and the multi-dispatch "
+                    "slab path is disabled (LAMBDAPIC_SLAB_SPLITYZ=0)")
     # 2D neighbor-column/window fetches ride 8-row blocks (x is the
     # sublane dim there): needs 8-divisible slabs
     if len(nloc) == 2 and (nloc[0] % 8 or slab_bx(nloc[0], 2) % 8):
@@ -1298,6 +1873,11 @@ def slab_reject_reason(plan, nloc, cap, switches, sp, cell_migration: str,
 def qed_slab_enabled() -> bool:
     import os
     return os.environ.get("LAMBDAPIC_SLAB_QED", "1") != "0"
+
+
+def splityz_enabled() -> bool:
+    import os
+    return os.environ.get("LAMBDAPIC_SLAB_SPLITYZ", "1") != "0"
 
 
 def slab_supported(plan, nloc, cap, switches, sp, cell_migration: str,

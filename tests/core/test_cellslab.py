@@ -134,46 +134,68 @@ def slab(eb_pad, data, alive, plan, g, deltas):
                              dt=DT, deltas=deltas, g=g)
 
 
+def _canon_slots(d, alive):
+    """Reorder each cell's slot column by (dead, id_lo): slot order has
+    no physical meaning and the packed/unpacked tails differ by a
+    within-cell permutation only."""
+    alive = np.asarray(alive)
+    key = (~alive).astype(np.int64) * (1 << 40) \
+        + np.asarray(d["id_lo"]).astype(np.int64)
+    order = np.argsort(key, axis=0, kind="stable")
+    out = {k: np.take_along_axis(np.asarray(v), order, axis=0)
+           for k, v in d.items()}
+    return out, np.take_along_axis(alive, order, axis=0)
+
+
 def _compare(dim, periodic=True, mesh_x=1, cap=4, cells=None, seed=0,
-             n_frac=0.4):
+             n_frac=0.4, mesh_shape=None):
     cells = cells or ((16, 16) if dim == 2 else (8, 8, 8))
     deltas = (DX,) * dim
     names = ("px", "py", "pz")[:dim]
-    mesh = Mesh(np.array(jax.devices()[:mesh_x]).reshape(
-        (mesh_x,) + (1,) * (dim - 1)), names)
-    specs = tuple(HaloSpec(nm, mesh_x if k == 0 else 1, periodic)
+    mesh_shape = mesh_shape or ((mesh_x,) + (1,) * (dim - 1))
+    ndev = int(np.prod(mesh_shape))
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(mesh_shape),
+                names)
+    specs = tuple(HaloSpec(nm, mesh_shape[k], periodic)
                   for k, nm in enumerate(names))
-    glob = (cells[0] * mesh_x,) + cells[1:]
+    glob = tuple(cells[k] * mesh_shape[k] for k in range(dim))
     plan = tuple((cells[k], specs[k], ("x", "y", "z")[k])
                  for k in range(dim))
     data, alive, ebpad, g = make_inputs(dim, cap, glob, seed=seed,
                                         n_frac=n_frac)
-    # positions are DEVICE-LOCAL cell units: localize the global x
-    pspec = P(None, "px") if dim == 2 else P(None, "px", None, None)
+    # positions are DEVICE-LOCAL cell units: localize every split coord
+    pspec = P(None, *names)
 
     def localize(d):
         d = dict(d)
-        d["x"] = d["x"] - (jax.lax.axis_index("px")
-                           * cells[0]).astype(d["x"].dtype)
+        for k, c in enumerate(("x", "y", "z")[:dim]):
+            if mesh_shape[k] > 1:
+                d[c] = d[c] - (jax.lax.axis_index(names[k])
+                               * cells[k]).astype(d[c].dtype)
         return d
 
-    jspec = P(None, "px") if dim == 2 else P(None, "px", None, None)
+    jspec = P(None, *names)
     results = []
     for fn in (split_ref, slab):
         def run(eb, d, al):
             d2, al2, nl, jpad = fn(eb, localize(d), al, plan, g, deltas)
-            return d2, al2, jnp.reshape(nl, (1,)), jpad
+            return d2, al2, jnp.reshape(nl, (1,) * dim), jpad
 
         jf = jax.jit(shard_map(
             run, mesh,
             in_specs=(P(), {k: pspec for k in data}, pspec),
-            out_specs=({k: pspec for k in data}, pspec, P("px"),
+            out_specs=({k: pspec for k in data}, pspec, P(*names),
                        jspec)))
         d2, al2, nl, jpad = jf(ebpad, data, alive)
         results.append((jax.device_get(d2), np.asarray(al2),
                         int(np.asarray(nl).sum()), np.asarray(jpad)))
 
     (dr, ar, lr, jr), (ds, as_, ls, js) = results
+    # the slab's rows mode front-packs alive slots per cell (a pure
+    # within-cell slot permutation): canonicalize BOTH sides by
+    # (dead, id_lo) before slot-for-slot comparison
+    dr, ar = _canon_slots(dr, ar)
+    ds, as_ = _canon_slots(ds, as_)
     np.testing.assert_array_equal(as_, ar)
     assert ls == lr
     for k in dr:
@@ -304,3 +326,155 @@ def test_fold_reduce_slab_matches_xla_pair(dim, periodic, mesh_x):
         out_specs=ospec))(rims)) for f in (ref, fast)]
     np.testing.assert_allclose(out_f, out_r, rtol=1e-12,
                                atol=1e-13 * np.abs(out_r).max())
+
+
+def test_slab_qed_chi_matches_split():
+    """want_chi: the in-kernel quantum parameter must equal
+    calculate_chi on the split path's gathered fields + post-migration
+    pre-push momenta (reference inline.py:5-13 at the _qed stage)."""
+    from lambdapic_tpu.constants import c as c_light
+    from lambdapic_tpu.models.qed import calculate_chi
+    from lambdapic_tpu.ops.pusher import push_position_2d
+    from lambdapic_tpu.ops.cellpallas import (migrate_cells_fused,
+                                              fused_push_cell_2d,
+                                              block_occupancy)
+    from lambdapic_tpu.ops.cellslab import slab_species_step
+
+    dim, cap, cells = 2, 4, (16, 16)
+    deltas = (DX,) * dim
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape((1, 1)), ("px", "py"))
+    specs = (HaloSpec("px", 1, True), HaloSpec("py", 1, True))
+    plan = tuple((cells[k], specs[k], ("x", "y")[k]) for k in range(dim))
+    data, alive, ebpad, g = make_inputs(dim, cap, cells, seed=9)
+    shape = (cap,) + cells
+    rng = np.random.default_rng(10)
+    # QED per-particle state rides the merge as ordinary payloads
+    data["tau"] = jnp.asarray(rng.uniform(0.1, 2.0, shape))
+    data["delta"] = jnp.zeros(shape)
+    data["event"] = jnp.zeros(shape)
+
+    def split_side(eb, d, al):
+        d = dict(d)
+        cdt2 = [c_light * DT / dd / 2 for dd in deltas]
+        d["x"], d["y"] = push_position_2d(
+            d["x"], d["y"], d["ux"], d["uy"], d["inv_gamma"], *cdt2)
+        d, al, _ = migrate_cells_fused(d, al, plan, recompute_ig=True)
+        outs = fused_push_cell_2d(
+            eb, d["x"], d["y"], d["ux"], d["uy"], d["uz"], q=Q, m=M,
+            dt=DT, dx=deltas[0], dy=deltas[1], g=g, want_eb=True,
+            do_pos1=False, occ=block_occupancy(al))
+        ebs = outs[6:]
+        chi = calculate_chi(*ebs, d["ux"], d["uy"], d["uz"],
+                            d["inv_gamma"])
+        return chi, d["inv_gamma"], al
+
+    def slab_side(eb, d, al):
+        d2, al2, _, _, (chi, ig0) = slab_species_step(
+            eb, dict(d), al, plan, q=Q, m=M, dt=DT, deltas=deltas, g=g,
+            want_chi=True)
+        return chi, ig0, al2
+
+    results = []
+    for fn in (split_side, slab_side):
+        jf = jax.jit(shard_map(
+            fn, mesh,
+            in_specs=(P(), {k: P(None, "px") for k in data},
+                      P(None, "px")),
+            out_specs=(P(None, "px"), P(None, "px"), P(None, "px"))))
+        chi, ig0, al2 = jf(ebpad, data, alive)
+        results.append((np.asarray(chi), np.asarray(ig0),
+                        np.asarray(al2)))
+
+    (cr, ir, ar), (cs, is_, as_) = results
+    np.testing.assert_array_equal(as_, ar)
+    np.testing.assert_allclose(cs[as_], cr[ar], rtol=1e-10,
+                               atol=1e-300, err_msg="chi")
+    np.testing.assert_allclose(is_[as_], ir[ar], rtol=1e-12,
+                               err_msg="ig_pre")
+    assert (cs[as_] > 0).any(), "test fields produced no finite chi"
+
+
+def test_slab_qed_engages_and_emits():
+    """End-to-end: a radiating electron species under the pallas cell
+    engine routes through the slab kernel WITH want_chi and emits
+    photons when chi is driven high."""
+    from lambdapic_tpu import Electron, Photon, Simulation
+    from lambdapic_tpu.core.species import _ALL_SPECIES
+    from lambdapic_tpu.ops import cellslab
+
+    _ALL_SPECIES.clear()
+    seen = []
+    orig = cellslab.slab_species_step
+
+    def spy(*a, **k):
+        seen.append(k.get("want_chi", False))
+        return orig(*a, **k)
+
+    cellslab.slab_species_step = spy
+    try:
+        pho = Photon()
+        ele = Electron(density=lambda x, y: 1e27, ppc=2,
+                       radiation="photons")
+        ele.set_photon(pho)
+        bc = {k: "periodic" for k in ("xmin", "xmax", "ymin", "ymax")}
+        sim = Simulation(nx=8, ny=8, dx=1e-6, dy=1e-6, npatch_x=1,
+                         npatch_y=1, boundary_conditions=bc,
+                         precision="double", random_seed=3,
+                         tiling="cell", tiling_backend="pallas",
+                         n_guard=2)
+        sim.add_species([ele, pho])
+        sim.initialize()
+        # drive chi into the emitting range: hot electrons in a huge B
+        p = sim.state.particles[0]
+        ux = jnp.where(p.alive, 5e3, 0.0)
+        ig = jnp.where(p.alive, 1.0 / jnp.sqrt(1 + ux**2), 1.0)
+        sim.state = sim.state.replace(particles=(
+            p.replace(data={**p.data, "ux": ux, "inv_gamma": ig}),
+        ) + sim.state.particles[1:])
+        sim.set_field("by", np.full((8, 8), 4e5))
+        sim.run(nsteps=2)
+        assert any(seen), "slab never engaged for the QED species"
+        assert seen[0] is True, "slab engaged without want_chi"
+        n_photons = int(np.asarray(sim.state.particles[1].alive).sum())
+        assert n_photons > 0, "no photons emitted at chi >> 1"
+        assert np.isfinite(sim.get_particles(0)["ux"]).all()
+    finally:
+        cellslab.slab_species_step = orig
+        _ALL_SPECIES.clear()
+
+
+def test_slab_3d_rows_on(monkeypatch):
+    """Row-gated tail + packing in 3D (opt-in; default is the cap-wide
+    tail, see rows_mode_enabled)."""
+    monkeypatch.setenv("LAMBDAPIC_SLAB_ROWS", "1")
+    _compare(3, seed=2)
+
+
+def test_slab_2d_rows_on(monkeypatch):
+    """Row-gated tail + packing in 2D (off by default there)."""
+    monkeypatch.setenv("LAMBDAPIC_SLAB_ROWS", "1")
+    _compare(2, seed=1)
+
+
+def test_slab_2d_rows_on_merges(monkeypatch):
+    monkeypatch.setenv("LAMBDAPIC_SLAB_ROWS", "1")
+    _compare(2, cap=2, n_frac=0.9, seed=4)
+
+
+def test_slab_3d_multidispatch_ysplit():
+    """y-split 3D mesh: the multi-dispatch slab path (x dispatch ->
+    ppermuted y edges -> y/z+tail dispatch) must match the per-stage
+    pipeline, including corner movers that cross x AND the y device
+    boundary in one step."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    _compare(3, mesh_shape=(1, 2, 1), seed=6, cells=(8, 8, 8))
+
+
+def test_slab_3d_multidispatch_yzsplit():
+    """Fully split 3D mesh (x, y and z): three slab dispatches chained
+    by edge ppermutes."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >=8 devices")
+    _compare(3, mesh_shape=(2, 2, 2), seed=7, cells=(8, 8, 8),
+             periodic=True)
