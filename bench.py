@@ -308,12 +308,15 @@ def record_mode(args):
                 "value": prev["value"], "unit": prev["unit"]}
         holder["r"] = result
 
-    # phase 0: vacuum FDTD — cold-start-safe guaranteed record
+    # phase 0: vacuum FDTD — cold-start-safe guaranteed record.
+    # best_of=2: the FIRST process touching the relay after idle can
+    # under-read its first timed window by 100x+ (observed 2.1 vs 287
+    # steps/s on the same build); the second window reads true.
     t0 = time.time()
     try:
         a0 = argparse.Namespace(**vars(args))
         a0.config, a0.nx, a0.ny = "vacuum", None, None
-        a0.steps, a0.warmup, a0.chunk, a0.best_of = 96, 21, "auto", 1
+        a0.steps, a0.warmup, a0.chunk, a0.best_of = 96, 21, "auto", 2
         attach(measure(a0), "vacuum")
     except Exception as e:
         fallback["extra"]["error"] = f"phase-0 vacuum failed: {e!r}"
@@ -322,9 +325,17 @@ def record_mode(args):
 
     # cache-warmth heuristic: a warm phase 0 finishes in well under a
     # minute; a cold one compiles for minutes. The particle configs
-    # compile for 13+ (2D) / 20+ (3D) minutes cold — attempting them
-    # cold would burn the whole deadline for nothing.
-    cache_warm = phase0_wall < 150
+    # compile for 5-13 (2D) / 20+ (3D) minutes cold — attempting them
+    # cold would burn the whole deadline for nothing. A populated
+    # persistent cache (the repo SHIPS .jax_cache entries for exactly
+    # the record-mode configs) also counts as warm, so a slow-relay
+    # phase 0 cannot gate the real configs off.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    try:
+        cache_entries = len(os.listdir(cache_dir)) if cache_dir else 0
+    except OSError:
+        cache_entries = 0
+    cache_warm = phase0_wall < 150 or cache_entries >= 3
     remaining = lambda: deadline - time.time()
 
     # phase 1: 2D laser-target

@@ -144,30 +144,56 @@ def slab_enabled() -> bool:
 
 
 
-def rows_mode_enabled(ndim: int, cap: int) -> bool:
-    """Slot-occupancy packing + row-gated tail (LAMBDAPIC_SLAB_ROWS,
-    default OFF). When on, the merge phase front-packs alive slots per
-    cell (one extra Batcher pass) and the gather/Boris/deposit tail
-    runs as a fori_loop over slot rows bounded by the block's actual
-    last-alive-slot index. The bound is computed from the real
-    post-merge alive mask, so it stays correct even if the packing
-    invariant is ever broken by an external state edit. The reference's
-    strip-mined clean/dirty elimination (unified_pusher_2d.c:261-312)
-    exploits the same sparsity dynamically.
+def rows_chunk(ndim: int, cap: int, ny: int = 0) -> int | None:
+    """Slot-occupancy packing + row-gated tail (LAMBDAPIC_SLAB_ROWS).
+    When on, the merge phase front-packs alive slots per cell (one
+    extra Batcher pass) and the gather/Boris/deposit tail runs as a
+    fori_loop over slot rows bounded by the actual last-alive-slot
+    index. The bound is computed from the real post-merge alive mask,
+    so it stays correct even if the packing invariant is ever broken
+    by an external state edit. The reference's strip-mined clean/dirty
+    elimination (unified_pusher_2d.c:261-312) exploits the same
+    sparsity dynamically.
 
-    Measured on the 3D laser-target bench (round 4): 401 vs 435 Mpush/s
-    — a NET LOSS at the current whole-(ny, nz)-plane blocking, exactly
-    as the round-3 analysis predicted: one compressed cell anywhere in
-    an x-slab's plane forces that block's row bound to cap, so the
-    gating only bites in blocks the occupancy skip already handles.
-    Kept as an opt-in lever for configs with y/z-localized density
-    (and as the basis for a future y-chunked blocking, where per-chunk
-    bounds would make it pay)."""
+    Returns None (off), 0 (whole-plane bound) or BY > 0 (3D only:
+    the tail loops over BY-row y-chunks, each with its OWN row bound —
+    laser-solid compression is spot-localized in y, so chunks away
+    from the spot keep the quiet-plasma occupancy bound and empty
+    chunks run zero rows). Values:
+
+        LAMBDAPIC_SLAB_ROWS=0          off
+        LAMBDAPIC_SLAB_ROWS=1          whole-plane bound
+        LAMBDAPIC_SLAB_ROWS=chunk[:BY] y-chunked bounds (default BY 16)
+        LAMBDAPIC_SLAB_ROWS=auto       currently off (flip pending the
+                                       round-4 A/B measurement)
+
+    Whole-plane mode measured 401 vs 435 Mpush/s on the 3D bench
+    (round 4, documented negative result): one compressed cell
+    anywhere in an x-slab's plane forces that block's bound to cap.
+    The y-chunked mode exists precisely to fix that."""
     import os
     v = os.environ.get("LAMBDAPIC_SLAB_ROWS", "auto")
+    by = 16
     if v == "auto":
-        return False
-    return v != "0"
+        v = "0"
+    if v == "0":
+        return None
+    if v.startswith("chunk"):
+        if ndim != 3:
+            return 0                      # 2D: whole-plane bound only
+        if ":" in v:
+            by = int(v.split(":", 1)[1])
+        while by > 8 and (ny % by):
+            by -= 8
+        if by < 8 or ny % by:
+            return 0                      # ny not 8-divisible: plane
+        return by
+    return 0
+
+
+def rows_mode_enabled(ndim: int, cap: int) -> bool:
+    """Any row-gated tail variant active (see rows_chunk)."""
+    return rows_chunk(ndim, cap) is not None
 
 
 def _skips_enabled() -> bool:
@@ -413,7 +439,9 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     # in-kernel sublane offset of the wanted neighbor column inside the
     # fetched payload block (2D fetches 8-row blocks; see cspec_lo)
     coff_lo = 7 if ndim == 2 else 0
-    rows_mode = rows_mode_enabled(ndim, cap) and tail
+    _rby = rows_chunk(ndim, cap, other[0] if ndim == 3 else 0)
+    rows_mode = (_rby is not None) and tail
+    rows_by = _rby or 0          # 0 = whole-plane bound; >0 = y-chunks
     yz_edges = (list(yz_edges) if yz_edges is not None
                 else [None] * (ndim - 1))
     merge_axes = (tuple(range(ndim)) if merge_axes is None
@@ -1015,33 +1043,56 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             def particle_tail_rows():
                 """Row-gated tail (rows_mode): gather + Boris + half
                 push + deposit as a fori_loop over slot rows, bounded by
-                the block's last alive slot index. With the merge's
+                the last alive slot index. With the merge's
                 front-packing, rows beyond the densest cell's occupancy
                 are never touched — at the 3D bench's ppc 2 / cap 4 that
                 halves the tail's VPU ops and payload I/O outside the
                 compressed sheath. Same closed forms as particle_tail,
                 on (1, bx, ...) rows; identical accumulation order per
-                row, so values match the cap-wide tail bitwise."""
+                row, so values match the cap-wide tail bitwise.
+
+                With rows_by > 0 (3D): the tail runs once per BY-row
+                y-chunk with a PER-CHUNK bound (static y offsets — the
+                chunk loop is a Python loop, so Mosaic sees only
+                aligned static sublane slices). Laser-solid compression
+                is spot-localized in y: chunks away from the spot keep
+                the quiet-plasma occupancy bound, and empty chunks run
+                zero rows (the fori trip count is 0)."""
                 out_ig[...] = jnp.ones(out_ig.shape, out_ig.dtype)
                 if want_chi:
                     out_chi[...] = jnp.zeros(out_chi.shape, dtype)
                     out_ig0[...] = jnp.ones(out_ig0.shape, dtype)
                 rims_seed()
                 av = out_a[...].astype(jnp.int32)
-                nrows = jnp.max(av * (lax.broadcasted_iota(
-                    jnp.int32, av.shape, 0) + 1))
-                shp_r = (1, bx) + tuple(other)
-                iota_r = [
-                    (lax.broadcasted_iota(jnp.int32, shp_r, 1)
-                     + i * bx).astype(dtype)
-                ] + [lax.broadcasted_iota(jnp.int32, shp_r,
-                                          2 + k).astype(dtype)
-                     for k in range(ndim - 1)]
-                # block dims = (cap, bx, *other): dslice on cap + ndim
-                # full trailing slices
-                trail = (slice(None),) * ndim
+                occ_idx = av * (lax.broadcasted_iota(
+                    jnp.int32, av.shape, 0) + 1)
 
-                def row_body(a, carry):
+                def run_rows(y0, yext):
+                    if ndim == 3 and yext != other[0]:
+                        nrows = jnp.max(occ_idx[:, :, y0:y0 + yext])
+                        oth = (yext,) + tuple(other[1:])
+                        trail = (slice(None), slice(y0, y0 + yext),
+                                 slice(None))
+                    else:
+                        nrows = jnp.max(occ_idx)
+                        oth = tuple(other)
+                        # block dims = (cap, bx, *other): dslice on cap
+                        # + ndim full trailing slices
+                        trail = (slice(None),) * ndim
+                    shp_r = (1, bx) + oth
+                    iota_r = [
+                        (lax.broadcasted_iota(jnp.int32, shp_r, 1)
+                         + i * bx).astype(dtype)
+                    ] + [(lax.broadcasted_iota(jnp.int32, shp_r,
+                                               2 + k)
+                          + (y0 if k == 0 else 0)).astype(dtype)
+                         for k in range(ndim - 1)]
+                    row_body = make_row_body(y0, yext, oth, shp_r,
+                                             iota_r, trail)
+                    lax.fori_loop(0, nrows, row_body, jnp.int32(0))
+
+                def make_row_body(y0, yext, oth, shp_r, iota_r, trail):
+                  def row_body(a, carry):
                     ridx = (pl.dslice(a, 1),) + trail
                     posr = [out_p[c][ridx] for c in ci]
                     ux0r = out_p[ui[0]][ridx]
@@ -1071,7 +1122,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                             taps[0][stag[0]].items():
                                         f = ebw[comp,
                                                 g + ox:g + ox + bx,
-                                                g + oy:g + oy + other[0],
+                                                y0 + g + oy:
+                                                y0 + g + oy + yext,
                                                 g + oz:g + oz + other[1]]
                                         acc = acc + tx * tyz * f[None]
                         eb.append(acc)
@@ -1199,7 +1251,7 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
 
                     dy_, vy_ = dln[1], v[1]
                     dz_, vz_ = dln[2], v[2]
-                    ny, nz = other
+                    nz = other[1]
 
                     def build_z():
                         zt = {}
@@ -1260,12 +1312,14 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                      else None)
 
                             def rmw(comp, ox, val):
+                                ysl = slice(y0 + g + oy,
+                                            y0 + g + oy + yext)
                                 cur = out_rims[comp, 0,
                                                2 + ox:2 + ox + bx,
-                                               g + oy:g + oy + ny,
+                                               ysl,
                                                g + oz:g + oz + nz]
                                 out_rims[comp, 0, 2 + ox:2 + ox + bx,
-                                         g + oy:g + oy + ny,
+                                         ysl,
                                          g + oz:g + oz + nz] = cur + val
 
                             for ox in RUNF:
@@ -1288,8 +1342,13 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                 for ox in _DOFF:
                                     rmw(3, ox, (s1x[ox] * pyz_r)[0])
                     return carry
+                  return row_body
 
-                lax.fori_loop(0, nrows, row_body, jnp.int32(0))
+                if ndim == 3 and rows_by and rows_by < other[0]:
+                    for ych in range(other[0] // rows_by):
+                        run_rows(ych * rows_by, rows_by)
+                else:
+                    run_rows(0, other[0])
 
             frozen_ok = (_skips_enabled() and not abl and not with_rho
                          and ebw is not None)

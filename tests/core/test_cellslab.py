@@ -450,6 +450,20 @@ def test_slab_3d_rows_on(monkeypatch):
     _compare(3, seed=2)
 
 
+def test_slab_3d_rows_chunked(monkeypatch):
+    """y-chunked row bounds (LAMBDAPIC_SLAB_ROWS=chunk:BY): the tail
+    runs per BY-row y-chunk with its own packed-occupancy bound; static
+    y windows into the gather/deposit slices must stay slot-for-slot
+    equal to the per-stage pipeline across chunk boundaries."""
+    monkeypatch.setenv("LAMBDAPIC_SLAB_ROWS", "chunk:8")
+    _compare(3, seed=6, cells=(8, 16, 8))
+
+
+def test_slab_3d_rows_chunked_open(monkeypatch):
+    monkeypatch.setenv("LAMBDAPIC_SLAB_ROWS", "chunk:8")
+    _compare(3, periodic=False, seed=7, cells=(8, 16, 8))
+
+
 def test_slab_2d_rows_on(monkeypatch):
     """Row-gated tail + packing in 2D (off by default there)."""
     monkeypatch.setenv("LAMBDAPIC_SLAB_ROWS", "1")
