@@ -53,8 +53,11 @@ if os.environ.get("LAMBDAPIC_NO_COMPILE_CACHE") != "1":
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache"))
+    # 0: the axon relay compiles asynchronously on the server, so the
+    # client-measured compile time of even 20-minute kernels is sub-
+    # second — any nonzero threshold would filter every entry out
     _min_ct = os.environ.setdefault(
-        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     # the container sitecustomize pre-imports jax, so the env vars alone
     # can be too late — set through the config API as well
     import jax

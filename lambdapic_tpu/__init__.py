@@ -19,15 +19,26 @@ import jax as _jax
 # LAMBDAPIC_COMPILE_CACHE=1 (bench.py does); kept off by default because
 # XLA:CPU AOT cache entries can be rejected/crash on machine-feature
 # mismatches.
-if _os.environ.get("LAMBDAPIC_COMPILE_CACHE"):
+if _os.environ.get("LAMBDAPIC_COMPILE_CACHE") \
+        and _jax.config.jax_compilation_cache_dir is None:
+    # an already-configured cache (bench.py points it at the repo-local
+    # .jax_cache, whose entries ship with the repo so a fresh clone
+    # skips the 5-20 min kernel compiles) is left untouched — including
+    # its min-compile-time threshold: the axon relay compiles
+    # asynchronously server-side, so the CLIENT-measured compile time
+    # of even 20-minute kernels is under a second and any nonzero
+    # threshold filters everything out.
     try:
         _cache_dir = _os.environ.get(
             "LAMBDAPIC_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache",
-                          "lambdapic_tpu_jax"))
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache",
+                              "lambdapic_tpu_jax")))
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.0)
     except Exception:
         pass
 

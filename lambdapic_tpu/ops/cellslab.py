@@ -113,12 +113,14 @@ def slab_bx(nx_loc: int, ndim: int) -> int:
 
 
 def slab_ok(nloc: Tuple[int, ...], cap: int,
-            extra_arrays: int = 0) -> bool:
+            extra_arrays: int = 0, photon: bool = False) -> bool:
     """VMEM feasibility: the gather+deposit phase holds ~85 (3D) /
     ~45 (2D) live block-size arrays (x AND z tap dictionaries + payload
     rows; y taps are recomputed lazily) plus the field slab and the
     double-buffered in/out refs. ``extra_arrays``: additional block-size
-    refs (QED: tau/delta/event payloads in+out + chi/ig_pre outputs)."""
+    refs (QED: tau/delta/event payloads in+out + chi/ig_pre outputs).
+    ``photon``: the field-free tail holds no tap dictionaries — only
+    the merge phase's ~3 row copies of each payload stay live."""
     ndim = len(nloc)
     bx = slab_bx(nloc[0], ndim)
     trail = 1
@@ -127,7 +129,9 @@ def slab_ok(nloc: Tuple[int, ...], cap: int,
     blk = cap * bx * trail * 4
     slab = 6 * (bx + 4) * trail * 4
     live = 85 if ndim == 3 else 45
-    if rows_mode_enabled(ndim, cap):
+    if photon:
+        live = 30
+    elif rows_mode_enabled(ndim, cap):
         # row tail: the tap dictionaries live on (1, bx, ...) rows, so
         # the gather/deposit live set shrinks by ~cap; the merge phase
         # (~3 copies of every payload row) dominates instead
@@ -356,7 +360,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                       occ=None, sanitize: Sequence[int] = (),
                       rims_in=None, with_rho: bool = True,
                       want_chi: bool = False, merge_axes=None,
-                      tail: bool = True, yz_edges=None):
+                      tail: bool = True, yz_edges=None,
+                      photon: bool = False):
     """Run half-push + migration(x,y[,z]) + gather + Boris + half push
     + deposit in one pallas kernel over x-slabs.
 
@@ -396,7 +401,13 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     from its sequential per-axis 8/26-neighbor exchange
     (patch/patch.py:446-592) — and passes them as ``yz_edges``: one
     entry per in-block axis, None (in-block wrap) or (lo_arrs, hi_arrs)
-    with arrs = [alive_i32, *payloads], coordinates pre-adjusted."""
+    with arrs = [alive_i32, *payloads], coordinates pre-adjusted.
+
+    ``photon`` (neutral massless species, reference PhotonPusher
+    core/pusher/photon.py:5-11): the tail is field-free — no gather, no
+    Boris, no Esirkepov — just inv_gamma = 1/|u| and the second
+    position half push, so the kernel reads no field refs and emits no
+    rims. Returns (alive8, payloads, inv_gamma, n_merged)."""
     from jax.experimental.pallas import tpu as pltpu
 
     cap = alive8.shape[0]
@@ -435,12 +446,13 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     # (element-granular maps — x is an untiled dim there); 2D reads one
     # block-granular bx-row main block + one 8-row tail block (x is the
     # sublane dim in 2D: 1-row blocks are not legal TPU blocks)
-    n_ebr = ((bx + 4) if ndim == 3 else 2) if tail else 0
+    n_ebr = ((bx + 4) if ndim == 3 else 2) if (tail and not photon) \
+        else 0
     # in-kernel sublane offset of the wanted neighbor column inside the
     # fetched payload block (2D fetches 8-row blocks; see cspec_lo)
     coff_lo = 7 if ndim == 2 else 0
     _rby = rows_chunk(ndim, cap, other[0] if ndim == 3 else 0)
-    rows_mode = (_rby is not None) and tail
+    rows_mode = (_rby is not None) and tail and not photon
     rows_by = _rby or 0          # 0 = whole-plane bound; >0 = y-chunks
     yz_edges = (list(yz_edges) if yz_edges is not None
                 else [None] * (ndim - 1))
@@ -482,7 +494,10 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
         out_a = refs[0]
         out_p = refs[1:1 + n_pay]
         out_ig = out_rims = out_chi = out_ig0 = None
-        if tail:
+        if tail and photon:
+            out_ig = refs[1 + n_pay]
+            out_m = refs[2 + n_pay]
+        elif tail:
             out_ig = refs[1 + n_pay]
             out_rims = refs[2 + n_pay]
             out_m = refs[3 + n_pay]
@@ -748,6 +763,28 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
 
             if not tail:
                 return      # dispatch A of the multi-dispatch split path
+
+            if photon:
+                # field-free photon tail: inv_gamma = 1/|u| (reference
+                # PhotonPusher, core/pusher/photon.py:5-11; dead slots
+                # get 1) + the second position half push. No gather, no
+                # Boris, no deposit.
+                ux0 = out_p[ui[0]][...]
+                uy0 = out_p[ui[1]][...]
+                uz0 = out_p[ui[2]][...]
+                u2 = ux0 * ux0 + uy0 * uy0 + uz0 * uz0
+                ig2 = jnp.where(
+                    u2 > 0,
+                    1.0 / jnp.sqrt(jnp.maximum(
+                        u2, jnp.asarray(1e-30, dtype))),
+                    jnp.ones_like(u2))
+                up = (ux0, uy0, uz0)
+                for k in range(ndim):
+                    out_p[ci[k]][...] = (
+                        out_p[ci[k]][...]
+                        + up[k] * ig2 * jnp.asarray(cdt[k] / 2, dtype))
+                out_ig[...] = ig2
+                return
 
             # ---- re-read the post-migration state from the output refs
             # (written by exactly one branch above); keeps the merge
@@ -1397,8 +1434,10 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 if want_chi:
                     out_chi[...] = jnp.zeros(out_chi.shape, dtype)
                     out_ig0[...] = jnp.ones(out_ig0.shape, dtype)
-                out_rims[...] = (rims_in_ref[...] if has_rims_in
-                                 else jnp.zeros(out_rims.shape, dtype))
+                if out_rims is not None:
+                    out_rims[...] = (rims_in_ref[...] if has_rims_in
+                                     else jnp.zeros(out_rims.shape,
+                                                    dtype))
             out_m[...] = jnp.where(is_first, 0, out_m[...])
 
     blk = (cap, bx) + tuple(other)
@@ -1450,8 +1489,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             (6, 1) + opad,
             lambda *a, _k=k: (0, a[0] * bx + _k) + zeros)
             for k in range(bx + 4)]
-    if not tail:
-        ebspecs = []      # dispatch A never touches the fields
+    if not tail or photon:
+        ebspecs = []      # dispatch A / photon tail: no field refs
     # channel-first rims: the fold's flatten is then a pure reshape
     # (no (nb, C) -> (C, nb) relayout; see cellpallas._fold_cfirst)
     rims_shape = (ncomp, nbx, bx + 4) + opad
@@ -1486,7 +1525,15 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     if has_rims_in and tail:
         in_specs.append(rspec)
         args.append(rims_in)
-    if tail:
+    if tail and photon:
+        out_specs = [mspec] + [mspec] * n_pay + [mspec, cnt_spec]
+        out_shape = ([jax.ShapeDtypeStruct(alive8.shape, jnp.uint8)]
+                     + [jax.ShapeDtypeStruct(data[nm].shape,
+                                             data[nm].dtype)
+                        for nm in names]
+                     + [jax.ShapeDtypeStruct(alive8.shape, dtype),
+                        jax.ShapeDtypeStruct((8, 128), jnp.int32)])
+    elif tail:
         out_specs = ([mspec] + [mspec] * n_pay
                      + [mspec, rspec, cnt_spec]
                      + ([mspec, mspec] if want_chi else []))
@@ -1534,6 +1581,9 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     pays_out = list(outs[1:1 + n_pay])
     if not tail:
         return alive_out, pays_out, outs[1 + n_pay][0, 0]
+    if photon:
+        return (alive_out, pays_out, outs[1 + n_pay],
+                outs[2 + n_pay][0, 0])
     ig_out = outs[1 + n_pay]
     rims = outs[2 + n_pay]
     n_merged = outs[3 + n_pay][0, 0]
@@ -1552,7 +1602,7 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                       deltas: Sequence[float], g: int,
                       skip_empty: bool | None = None, fold: bool = True,
                       rims_in=None, with_rho: bool = True,
-                      want_chi: bool = False):
+                      want_chi: bool = False, photon: bool = False):
     """The fused-path species stage on the slab megakernel. ``plan`` =
     ((nloc, HaloSpec, coord), ...) per cell axis, exactly as
     migrate_cells. ``data`` holds the STORED state (pre-push positions
@@ -1646,8 +1696,13 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
     if not split_axes:
         outs = unified_cell_step(
             eb_pad, alive8, ig, data, edges_lo, edges_hi, occ=occ,
-            rims_in=rims_in, want_chi=want_chi, **kw)
-        alive_out, pays_out, ig_out, rims, n_lost = outs[:5]
+            rims_in=None if photon else rims_in,
+            want_chi=want_chi, photon=photon, **kw)
+        if photon:
+            alive_out, pays_out, ig_out, n_lost = outs
+            rims = None
+        else:
+            alive_out, pays_out, ig_out, rims, n_lost = outs[:5]
     else:
         # Multi-dispatch split path (y/z-split meshes): each split
         # in-block axis starts a new dispatch whose edge strips are
@@ -1720,10 +1775,14 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
                 eb_pad, cur_alive8, cur_ig, cur_data,
                 edges_lo if gi == 0 else [],
                 edges_hi if gi == 0 else [],
-                occ=occ_g, rims_in=rims_in if last else None,
+                occ=occ_g,
+                rims_in=rims_in if (last and not photon) else None,
                 want_chi=want_chi and last, merge_axes=tuple(grp),
-                tail=last, yz_edges=yz, **kw)
-            if last:
+                tail=last, yz_edges=yz, photon=photon, **kw)
+            if last and photon:
+                alive_out, pays_out, ig_out, nm = outs
+                rims = None
+            elif last:
                 alive_out, pays_out, ig_out, rims, nm = outs[:5]
             else:
                 alive_out, pays_out, nm = outs
@@ -1733,6 +1792,8 @@ def slab_species_step(eb_pad, data: Dict[str, jnp.ndarray], alive,
     data = {**data, **dict(zip(names, pays_out))}
     data["inv_gamma"] = ig_out
     alive = alive_out != 0
+    if photon:
+        return data, alive, n_lost, None
     jpad = _fold_cfirst(rims, nx, g, bx) if fold else rims
     if want_chi:
         return data, alive, n_lost, jpad, (outs[5], outs[6])
@@ -1897,12 +1958,22 @@ def slab_reject_reason(plan, nloc, cap, switches, sp, cell_migration: str,
         return "QED slab path disabled (LAMBDAPIC_SLAB_QED=0)"
     if cell_migration == "exact":
         return "cell_migration='exact' (slab merge is the fast scheme)"
-    if sp.pusher not in ("boris", "boris+tbmt"):
+    if sp.pusher == "photon":
+        # field-free photon slab mode (merge + 1/|u| + half push)
+        if qed:
+            return ("photon species with QED pair production (chi "
+                    "needs the gather; per-stage path)")
+        if not photon_slab_enabled():
+            return "photon slab path disabled (LAMBDAPIC_SLAB_PHOTON=0)"
+        req = ("pusher", "migration")
+    elif sp.pusher not in ("boris", "boris+tbmt"):
         return f"pusher {sp.pusher!r} (slab kernel fuses Boris only)"
-    if sp.q == 0.0:
+    elif sp.q == 0.0:
         return "neutral species (slab kernel fuses the Esirkepov deposit)"
-    for k in ("pusher", "interpolation", "migration",
-              "current_deposition"):
+    else:
+        req = ("pusher", "interpolation", "migration",
+               "current_deposition")
+    for k in req:
         if not switches[k]:
             return f"component {k!r} disabled via set_enabled"
     # y/z-split meshes: 3D takes the multi-dispatch slab path (one
@@ -1923,7 +1994,8 @@ def slab_reject_reason(plan, nloc, cap, switches, sp, cell_migration: str,
     if len(nloc) == 2 and (nloc[0] % 8 or slab_bx(nloc[0], 2) % 8):
         return (f"2D local nx={nloc[0]} not divisible by 8 (neighbor "
                 "columns ride 8-row sublane blocks)")
-    if not slab_ok(tuple(nloc), cap, extra_arrays=10 if qed else 0):
+    if not slab_ok(tuple(nloc), cap, extra_arrays=10 if qed else 0,
+                   photon=sp.pusher == "photon"):
         return (f"VMEM estimate over budget at capacity {cap} and local "
                 f"grid {tuple(nloc)} (LAMBDAPIC_SLAB_VMEM_MB to override)")
     return None
@@ -1932,6 +2004,11 @@ def slab_reject_reason(plan, nloc, cap, switches, sp, cell_migration: str,
 def qed_slab_enabled() -> bool:
     import os
     return os.environ.get("LAMBDAPIC_SLAB_QED", "1") != "0"
+
+
+def photon_slab_enabled() -> bool:
+    import os
+    return os.environ.get("LAMBDAPIC_SLAB_PHOTON", "1") != "0"
 
 
 def splityz_enabled() -> bool:

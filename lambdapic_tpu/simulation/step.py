@@ -342,9 +342,16 @@ class StepBuilder:
                         and self.switches["pusher"]
                         and self.switches["interpolation"]
                         and sp.pusher in ("boris", "boris+tbmt"))
+        # photon species take the field-free slab mode (merge + 1/|u| +
+        # half push, no gather/deposit) — the per-stage pipeline costs
+        # a full migration pass over a mostly-dead cap-16 child array
+        photon_candidate = (not split and use_pallas_cell
+                            and self.switches["pusher"]
+                            and sp.pusher == "photon")
         use_slab_static = False
         slab_reason = None
-        if cell_layout and fused_static and self.switches["migration"]:
+        if cell_layout and (fused_static or photon_candidate) \
+                and self.switches["migration"]:
             from ..ops.cellslab import slab_reject_reason
             plan_static = tuple((nloc[i], specs[i], ("x", "y", "z")[i])
                                 for i in range(ndim))
@@ -352,6 +359,7 @@ class StepBuilder:
                 plan_static, nloc, sp.tile_cap, self.switches, sp,
                 self.cell_migration, bool(qed), split)
             use_slab_static = slab_reason is None
+        photon_slab = use_slab_static and sp.pusher == "photon"
         self._log_engine(ispec, sp, cell_layout, use_pallas_cell,
                          fused_static, use_slab_static, slab_reason,
                          split)
@@ -440,6 +448,20 @@ class StepBuilder:
                              "ablations only)")
             slab_done = False
             if cell_layout and self.switches["migration"] \
+                    and "p1" in stages and use_slab and photon_slab:
+                # field-free photon slab: merge + inv_gamma=1/|u| +
+                # second half push in one kernel; no J contribution
+                from ..ops.cellslab import slab_species_step
+                data, alive, cell_lost, _ = slab_species_step(
+                    eb_pad, data, alive, plan, q=sp.q, m=sp.m, dt=dt,
+                    deltas=(grid.dx, grid.dy, grid.dz)[:ndim], g=g,
+                    fold=False, with_rho=self.with_rho, photon=True)
+                jpad = jnp.zeros(lead, data["x"].dtype)
+                pos = tuple(data[c] for c in ("x", "y", "z")[:ndim])
+                ux, uy, uz = data["ux"], data["uy"], data["uz"]
+                ig = data["inv_gamma"]
+                slab_done = True
+            elif cell_layout and self.switches["migration"] \
                     and "p1" in stages and use_slab:
                 # stored (pre-push) positions + inv_gamma go straight
                 # into the kernel; it applies the first half push
@@ -764,7 +786,12 @@ class StepBuilder:
             if rims_in is not None:
                 in_specs.append(self._p_rims)
                 args.append(rims_in)
-            pay_spec = self._p_rims if use_slab_static else self._p_stack
+            if photon_slab:
+                pay_spec = self._p_field      # dummy zeros, shape lead
+            elif use_slab_static:
+                pay_spec = self._p_rims
+            else:
+                pay_spec = self._p_stack
             fn = self._smap(
                 local, tuple(in_specs),
                 (ospec, self._p_part, self._p_field, self._p_field,
@@ -776,8 +803,10 @@ class StepBuilder:
                                   overflow=overflow), jpad
 
         # slab species return raw rim panels as the payload (fold once
-        # across species in seg_particles)
-        wrapper.returns_rims = use_slab_static
+        # across species in seg_particles); photon-slab species deposit
+        # nothing and return a dummy payload the caller must ignore
+        wrapper.returns_rims = use_slab_static and not photon_slab
+        wrapper.no_j = photon_slab
         return wrapper
 
     # ------------------------------------------------------------------
@@ -1404,7 +1433,12 @@ class StepBuilder:
                 continue
             block = self.make_species_block(ispec, migrate=migrate)
             kspec = jax.random.fold_in(key, ispec)
-            if getattr(block, "returns_rims", False):
+            if getattr(block, "no_j", False):
+                # photon-slab species: no current contribution at all —
+                # skip the zeros-jpad reduce the per-stage path paid
+                pnew, _ = block(eb_pad, particles[ispec], kspec)
+                new_parts.append(pnew)
+            elif getattr(block, "returns_rims", False):
                 # chain the running rim panels through the slab kernel:
                 # it seeds its deposit accumulator with them, so the
                 # cross-species rims sum costs no separate XLA add

@@ -213,6 +213,114 @@ def _compare(dim, periodic=True, mesh_x=1, cap=4, cells=None, seed=0,
     np.testing.assert_allclose(js, jr, atol=1e-12 * scale)
 
 
+def _compare_photon(dim, periodic=True, cap=4, seed=0, n_frac=0.4):
+    """Field-free photon slab mode (merge + 1/|u| + half push) vs the
+    per-stage photon sequence (p1 push -> migrate_cells_fused ->
+    photon_push -> p2 push; reference core/pusher/photon.py:5-11)."""
+    from lambdapic_tpu.constants import c as c_light
+    from lambdapic_tpu.ops.pusher import (photon_push, push_position_2d,
+                                          push_position_3d)
+    from lambdapic_tpu.ops.cellpallas import migrate_cells_fused
+    from lambdapic_tpu.ops.cellslab import slab_species_step
+
+    cells = (16, 16) if dim == 2 else (8, 8, 8)
+    deltas = (DX,) * dim
+    names = ("px", "py", "pz")[:dim]
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape((1,) * dim), names)
+    specs = tuple(HaloSpec(nm, 1, periodic) for nm in names)
+    plan = tuple((cells[k], specs[k], ("x", "y", "z")[k])
+                 for k in range(dim))
+    data, alive, ebpad, g = make_inputs(dim, cap, cells, seed=seed,
+                                        n_frac=n_frac)
+    coords = ("x", "y", "z")[:dim]
+    cdt2 = [c_light * DT / d / 2 for d in deltas]
+
+    def ref(eb, d, al):
+        d = dict(d)
+        ig0 = d["inv_gamma"]
+        if dim == 2:
+            d["x"], d["y"] = push_position_2d(
+                d["x"], d["y"], d["ux"], d["uy"], ig0, *cdt2)
+        else:
+            d["x"], d["y"], d["z"] = push_position_3d(
+                d["x"], d["y"], d["z"], d["ux"], d["uy"], d["uz"],
+                ig0, *cdt2)
+        d, al, nl = migrate_cells_fused(d, al, plan, recompute_ig=False)
+        ig = photon_push(d["ux"], d["uy"], d["uz"])
+        pos = [d[c] for c in coords]
+        if dim == 2:
+            pos = push_position_2d(*pos, d["ux"], d["uy"], ig, *cdt2)
+        else:
+            pos = push_position_3d(*pos, d["ux"], d["uy"], d["uz"],
+                                   ig, *cdt2)
+        for c, p in zip(coords, pos):
+            d[c] = p
+        d["inv_gamma"] = jnp.where(al, ig, d["inv_gamma"] * 0 + 1.0)
+        return d, al, jnp.reshape(nl, (1,) * dim)
+
+    def slab_ph(eb, d, al):
+        d, al, nl, jp = slab_species_step(
+            eb, dict(d), al, plan, q=0.0, m=0.0, dt=DT, deltas=deltas,
+            g=g, photon=True)
+        assert jp is None
+        return d, al, jnp.reshape(nl, (1,) * dim)
+
+    pspec = P(None, *names)
+    results = []
+    for fn in (ref, slab_ph):
+        jf = jax.jit(shard_map(
+            fn, mesh,
+            in_specs=(P(), {k: pspec for k in data}, pspec),
+            out_specs=({k: pspec for k in data}, pspec, P(*names))))
+        d2, al2, nl = jf(ebpad, data, alive)
+        results.append((jax.device_get(d2), np.asarray(al2),
+                        int(np.asarray(nl).sum())))
+
+    (dr, ar, lr), (ds, as_, ls) = results
+    dr, ar = _canon_slots(dr, ar)
+    ds, as_ = _canon_slots(ds, as_)
+    np.testing.assert_array_equal(as_, ar)
+    assert ls == lr
+    for k in dr:
+        a, b = np.asarray(ds[k]), np.asarray(dr[k])
+        if k in ("id_lo", "id_hi"):
+            np.testing.assert_array_equal(a[as_], b[ar], err_msg=k)
+        else:
+            np.testing.assert_allclose(a[as_], b[ar], rtol=1e-11,
+                                       atol=1e-300, err_msg=k)
+
+
+def test_slab_photon_eligibility():
+    """Plain photon species is slab-eligible; a photon species with QED
+    pair production is not (chi needs the gather)."""
+    from lambdapic_tpu.ops.cellslab import slab_reject_reason
+    from lambdapic_tpu.simulation.step import SpeciesStatic
+
+    sw = dict(maxwell=True, pusher=True, current_deposition=True,
+              qed=True, collisions=True, interpolation=True,
+              migration=True, species_block=True)
+    plan = ((768, HaloSpec("px", 1, False), "x"),
+            (768, HaloSpec("py", 1, False), "y"))
+    sp = SpeciesStatic(name="photon", q=0.0, m=0.0, pusher="photon",
+                       cap=16, migration_buf=16, tile_cap=16)
+    assert slab_reject_reason(plan, (768, 768), 16, sw, sp, "fast",
+                              False, False) is None
+    assert slab_reject_reason(plan, (768, 768), 16, sw, sp, "fast",
+                              True, False) is not None
+
+
+def test_slab_photon_2d():
+    _compare_photon(2, seed=8)
+
+
+def test_slab_photon_3d():
+    _compare_photon(3, seed=9)
+
+
+def test_slab_photon_2d_open():
+    _compare_photon(2, periodic=False, seed=10)
+
+
 def test_slab_2d_periodic():
     _compare(2)
 
