@@ -391,6 +391,40 @@ def record_mode(args):
             if "r" in holder:
                 holder["r"].setdefault("extra", {})["phase3_error"] = \
                     repr(e)
+    gc.collect()
+
+    # phase 4: occupancy-scaled 3D at ppc 6/species (16.7M
+    # macroparticles — occupancy is the biggest pushes/s lever, the
+    # stencil work amortizes over the slots of a cell). cap 8 slabs
+    # only fit VMEM at bx=1 (cap 10 measured a 127.99M scoped stack
+    # vs the 120M limit; the window double-buffer does not shrink
+    # with bx), so this phase pins LAMBDAPIC_SLAB_BX=1; it runs last
+    # so the ppc-4 record is already banked if the deadline lands
+    # mid-phase.
+    if cache_warm and remaining() > 150:
+        try:
+            os.environ.setdefault("LAMBDAPIC_SLAB_VMEM_MB", "117")
+            os.environ["LAMBDAPIC_SLAB_BX"] = "1"
+            a4 = argparse.Namespace(**vars(args))
+            a4.config, a4.nx, a4.ny = "laser-target-3d", None, None
+            a4.ppc, a4.capacity_factor = 24, 1.2
+            a4.chunk, a4.best_of = "auto", 2
+            r4 = measure(a4)
+            r4["metric"] += " [ppc 6/species]"
+            # both phase 3 and 4 are 3D pushes/s: keep the faster one
+            # as the record (occupancy scaling should win, but never
+            # let a slow relay window regress the banked ppc-4 number)
+            if r4["value"] > holder.get("r", {}).get("value", 0.0):
+                attach(r4, "3d-ppc8")
+            else:
+                holder["r"].setdefault("extra", {})["ppc8"] = {
+                    "value": r4["value"], "unit": r4["unit"]}
+        except Exception as e:
+            if "r" in holder:
+                holder["r"].setdefault("extra", {})["phase4_error"] = \
+                    repr(e)
+        finally:
+            os.environ.pop("LAMBDAPIC_SLAB_BX", None)
     _emit(holder.get("r", fallback))
 
 

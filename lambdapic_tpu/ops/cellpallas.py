@@ -238,8 +238,16 @@ def _fold(rims, n: int, g: int, b: int):
                                         (0, start) + zeros)
 
     out = place(out, rims[:, :, 2:2 + b], g)
-    out = place(out, rims[:, :, 0:2], g - 2)
-    out = place(out, rims[:, :, 2 + b:], g + b)
+    if b >= 2:
+        out = place(out, rims[:, :, 0:2], g - 2)
+        out = place(out, rims[:, :, 2 + b:], g + b)
+    else:
+        # b == 1: consecutive blocks' 2-wide halo panels OVERLAP in the
+        # output (stride b < halo width), which the flatten-based
+        # overlap-add cannot express — fold the halo column-by-column
+        for j in range(2):
+            out = place(out, rims[:, :, j:j + 1], g - 2 + j)
+            out = place(out, rims[:, :, 2 + b + j:3 + b + j], g + b + j)
     return out
 
 
@@ -269,8 +277,14 @@ def _fold_cfirst(rims, n: int, g: int, b: int):
                                         (0, start) + zeros)
 
     out = place(out, rims[:, :, 2:2 + b], g)
-    out = place(out, rims[:, :, 0:2], g - 2)
-    out = place(out, rims[:, :, 2 + b:], g + b)
+    if b >= 2:
+        out = place(out, rims[:, :, 0:2], g - 2)
+        out = place(out, rims[:, :, 2 + b:], g + b)
+    else:
+        # b == 1: overlapping halo panels — column-by-column (see _fold)
+        for j in range(2):
+            out = place(out, rims[:, :, j:j + 1], g - 2 + j)
+            out = place(out, rims[:, :, 2 + b + j:3 + b + j], g + b + j)
     return out
 
 

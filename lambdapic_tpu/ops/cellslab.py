@@ -137,8 +137,15 @@ def slab_ok(nloc: Tuple[int, ...], cap: int,
         # (~3 copies of every payload row) dominates instead
         live = 45
     refs = (26 + 2 * extra_arrays) * blk   # in+out, double-buffered
+    est = live * blk + refs + 3 * slab
+    if ndim == 3 and bx == 1:
+        # measured calibration: cap 10 / bx 1 / 128^3 compiles to a
+        # 127.99M scoped-vmem stack vs a 77M estimate — the neighbor
+        # window and tap live set do not shrink with bx, so the
+        # per-blk model under-counts at bx=1
+        est = int(est * 1.7)
     budget = _env_int("LAMBDAPIC_SLAB_VMEM_MB", 100) * 1024 * 1024
-    return live * blk + refs + 3 * slab <= budget
+    return est <= budget
 
 
 def slab_enabled() -> bool:
@@ -244,6 +251,11 @@ def _shift(row, strip_lo, strip_hi, axis):
     """(lo_view, hi_view): row shifted +1/-1 along ``axis`` with the
     strip columns filling the exposed edge."""
     n = row.shape[axis]
+    if n == 1:
+        # bx=1 slabs: the whole row IS the edge — the shifted views are
+        # exactly the strip columns (Mosaic rejects 0-sized vector
+        # slices, so the general concatenate form cannot be used)
+        return strip_lo, strip_hi
     body_lo = lax.slice_in_dim(row, 0, n - 1, axis=axis)
     body_hi = lax.slice_in_dim(row, 1, n, axis=axis)
     lo = jnp.concatenate([strip_lo, body_lo], axis=axis)
@@ -1839,8 +1851,14 @@ def fold_reduce_slab(rims, *, nloc, g: int, spec0, periodic):
     panel_b = C * bp4 * int(_np.prod(pads, dtype=_np.int64)) * item
     acc_row = C * int(_np.prod(pads, dtype=_np.int64)) * item
 
+    # a rim panel reaches 2 rows beyond its block on each side, so a
+    # K-panel output group overlaps ceil(2/b) extra panels per side
+    # (1 for b>=2, 2 for b=1 slabs)
+    extra = -(-2 // b)
+    P = lambda k: k + 2 * extra
+
     def _vmem_est(k):
-        return ((k + 2) * panel_b * 2          # double-buffered panels
+        return (P(k) * panel_b * 2             # double-buffered panels
                 + C * k * b * int(_np.prod(nloc[1:], dtype=_np.int64))
                 * item                          # output block
                 + 4 * k * b * acc_row)          # acc + concat temps
@@ -1855,6 +1873,13 @@ def fold_reduce_slab(rims, *, nloc, g: int, spec0, periodic):
     # ppermute is the identity at size 1
     send_lo = rims[:, 0, 0:2]
     send_hi = rims[:, -1, 2 + b:4 + b]
+    if b == 1 and nbx >= 2:
+        # b=1: the 2-row guard also overlaps the SECOND panel from the
+        # edge (panel 1's row 0 lands at global -1, panel nbx-2's row 4
+        # at global nx) — same overlap geometry as the interior fold
+        z1 = jnp.zeros_like(rims[:, 0, 0:1])
+        send_lo = send_lo + jnp.concatenate([z1, rims[:, 1, 0:1]], 1)
+        send_hi = send_hi + jnp.concatenate([rims[:, -2, 4:5], z1], 1)
     up = [(k, (k + 1) % spec0.size) for k in range(spec0.size)]
     dn = [(k, (k - 1) % spec0.size) for k in range(spec0.size)]
     elo = lax.ppermute(send_hi, spec0.axis_name, up)
@@ -1867,28 +1892,28 @@ def fold_reduce_slab(rims, *, nloc, g: int, spec0, periodic):
     zeros_tr = (0,) * (ndim - 1)
     pspecs = [pl.BlockSpec(
         (C, 1, bp4) + pads,
-        lambda i, _p=p: (0, jnp.clip(i * K - 1 + _p, 0, nbx - 1), 0)
+        lambda i, _p=p: (0, jnp.clip(i * K - extra + _p, 0, nbx - 1), 0)
         + zeros_tr)
-        for p in range(K + 2)]
+        for p in range(P(K))]
     espec = pl.BlockSpec((C, 2) + pads, lambda i: (0, 0) + zeros_tr)
     ospec = pl.BlockSpec((C, bxo) + tuple(nloc[1:]),
                          lambda i: (0, i) + zeros_tr)
 
     def kernel(*refs):
-        prefs = refs[:K + 2]
-        elo_r, ehi_r = refs[K + 2], refs[K + 3]
-        out = refs[K + 4]
+        prefs = refs[:P(K)]
+        elo_r, ehi_r = refs[P(K)], refs[P(K) + 1]
+        out = refs[P(K) + 2]
         i = pl.program_id(0)
 
         acc = None
-        for p in range(K + 2):
-            ls = (p - 1) * b - 2          # block-local row of panel row 0
+        for p in range(P(K)):
+            ls = (p - extra) * b - 2      # block-local row of panel row 0
             rlo = max(0, -ls)
             rhi = min(bp4, bxo - ls)
             if rhi <= rlo:
                 continue
             part = prefs[p][:, 0, rlo:rhi]
-            j = i * K - 1 + p
+            j = i * K - extra + p
             valid = (j >= 0) & (j <= nbx - 1)
             part = jnp.where(valid, part, jnp.zeros_like(part))
             pre = ls + rlo
@@ -1940,7 +1965,7 @@ def fold_reduce_slab(rims, *, nloc, g: int, spec0, periodic):
     return pl.pallas_call(
         kernel, grid=(nbo,), in_specs=pspecs + [espec, espec],
         out_specs=ospec, out_shape=out_shape,
-        **_compile_kwargs())(*([rims] * (K + 2)), elo, ehi)
+        **_compile_kwargs())(*([rims] * P(K)), elo, ehi)
 
 
 def slab_reject_reason(plan, nloc, cap, switches, sp, cell_migration: str,
