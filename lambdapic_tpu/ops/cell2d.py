@@ -45,6 +45,7 @@ merging instead of drops.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -421,7 +422,10 @@ def insert_cells(data: Dict[str, jnp.ndarray], alive: jnp.ndarray,
             return jnp.ones(valid.shape, arr.dtype)
         return jnp.zeros(valid.shape, arr.dtype)
 
-    import os
+    # NOTE: trace-time-only switch — insert_cells is traced once per jit
+    # compile, so flipping LAMBDAPIC_CELL_INSERT after the first compile
+    # has no effect until the step is rebuilt (new Simulation or a
+    # capacity recompile)
     mode = os.environ.get("LAMBDAPIC_CELL_INSERT", "select")
     if mode == "sort":
         # reference-shaped merge: concatenate child + newborn rows and

@@ -112,6 +112,59 @@ def slab_bx(nx_loc: int, ndim: int) -> int:
     return pref if nx_loc % pref == 0 else nx_loc
 
 
+def slab_stream(ndim: int, cap: int, nloc) -> int:
+    """Streamed-tap deposit (round-5 VMEM lever): partition the
+    gather+Boris+deposit tail into NS static y-strips, each reading its
+    own payload rows from the output refs and RMW-ing its rim rows.
+    The tap-dictionary live set — the dominant share of the tail's
+    ~85 block-size arrays (slab_ok) — then scales ~1/NS, which is what
+    lets cap 8 slabs keep bx=2 and cap>=10 fit at bx=1 (round-4
+    measured ceilings: cap 8/bx 2 = 154.9 MB, cap 10/bx 1 = 127.99 MB
+    scoped stack vs the 120-128 MB budget). Strip offsets are static
+    (full unroll), so Mosaic sees only aligned sublane slices; op count
+    is unchanged (taps are per-particle elementwise work partitioned by
+    home row). Reference hot-path analog: the strip-mined L1-resident
+    pusher, unified_pusher_2d.c:9-12 / current_deposit.h:275-440.
+
+    3D only (in 2D y is the lane dim and the live set fits anyway).
+    LAMBDAPIC_SLAB_STREAM=NS forces NS strips; 0/unset = auto (engage
+    the fewest strips whose estimated tail live-set fits the budget,
+    see _stream_auto)."""
+    if ndim != 3:
+        return 1
+    ny = nloc[1]
+    v = _env_int("LAMBDAPIC_SLAB_STREAM", 0)
+    if v:
+        while v > 1 and ny % v:
+            v -= 1
+        return max(v, 1)
+    return _stream_auto(cap, nloc, ny)
+
+
+def _stream_auto(cap: int, nloc, ny: int) -> int:
+    """Fewest strips whose estimated tail live set fits the VMEM
+    budget; 1 when the unstreamed tail already fits (the measured-
+    fastest configuration — streaming is engaged only when it buys
+    occupancy the budget would otherwise reject)."""
+    bx = slab_bx(nloc[0], 3)
+    trail = 1
+    for n in nloc[1:]:
+        trail *= n + 4
+    blk = cap * bx * trail * 4
+    slab = 6 * (bx + 4) * trail * 4
+    refs = 26 * blk
+    budget = _env_int("LAMBDAPIC_SLAB_VMEM_MB", 100) * 1024 * 1024
+    for ns in (1, 2, 4, 8):
+        if ny % ns or (ny // ns) % 8:
+            continue
+        est = (85 * blk) // ns + refs + 3 * slab
+        if bx == 1:
+            est = int(est * 1.7)
+        if est <= budget:
+            return ns
+    return 8 if ny % 8 == 0 else 1
+
+
 def slab_ok(nloc: Tuple[int, ...], cap: int,
             extra_arrays: int = 0, photon: bool = False) -> bool:
     """VMEM feasibility: the gather+deposit phase holds ~85 (3D) /
@@ -466,6 +519,12 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
     _rby = rows_chunk(ndim, cap, other[0] if ndim == 3 else 0)
     rows_mode = (_rby is not None) and tail and not photon
     rows_by = _rby or 0          # 0 = whole-plane bound; >0 = y-chunks
+    # streamed-tap tail (see slab_stream): NS static y-strips; rows
+    # mode has its own per-row restructuring and is mutually exclusive
+    stream_ns = (slab_stream(ndim, cap, (nx,) + tuple(other))
+                 if (tail and not photon and not rows_mode) else 1)
+    if stream_ns > 1 and other[0] % stream_ns:
+        stream_ns = 1
     yz_edges = (list(yz_edges) if yz_edges is not None
                 else [None] * (ndim - 1))
     merge_axes = (tuple(range(ndim)) if merge_axes is None
@@ -805,7 +864,8 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
             shp = (cap, bx) + tuple(other)
             q = qm_ref[0]
             m = qm_ref[1]
-            if not rows_mode:
+            frozen_pre = _skips_enabled() and not abl and not with_rho
+            if not rows_mode and stream_ns == 1:
                 blocks = [out_p[p][...] for p in range(n_pay)]
                 pos = [blocks[c] for c in ci]
                 ux0, uy0, uz0 = (blocks[u] for u in ui)
@@ -817,6 +877,11 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                           2 + k).astype(dtype)
                      for k in range(ndim - 1)]
                 dl = [pos[k] - iota[k] for k in range(ndim)]
+            elif not rows_mode and frozen_pre:
+                # streamed tail: strips load their own rows; only the
+                # frozen-skip momenta check needs whole-block reads
+                # (they die before the first strip's taps go live)
+                ux0, uy0, uz0 = (out_p[u][...] for u in ui)
 
             # ------------- gather + Boris + half push ------------------
             # field window (6, bx+4, ...) assembled from the direct
@@ -835,17 +900,48 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                 out_rims[...] = (rims_in_ref[...] if has_rims_in
                                  else jnp.zeros(out_rims.shape, dtype))
 
-            def particle_tail():
+            def particle_tail(y0=0, cy=None, seed=True):
+                # cy=None: whole-block tail on the preloaded arrays.
+                # cy=int (streamed-tap, 3D only): operate on the y-strip
+                # [y0, y0+cy) — strips read their own payload rows so
+                # the tap live set scales ~1/stream_ns (slab_stream).
+                if cy is None:
+                    t_shp, t_pos, t_w, t_dl, ylen = shp, pos, w, dl, \
+                        other[0]
+                    t_u = (ux0, uy0, uz0)
+                    t_iota = iota
+                else:
+                    ylen = cy
+                    t_shp = (cap, bx, cy) + tuple(other[1:])
+                    t_pos = [out_p[c][:, :, y0:y0 + cy] for c in ci]
+                    t_u = tuple(out_p[u][:, :, y0:y0 + cy] for u in ui)
+                    t_w = (out_p[wi][:, :, y0:y0 + cy] if wi >= 0
+                           else jnp.ones(t_shp, dtype))
+                    t_iota = [
+                        (lax.broadcasted_iota(jnp.int32, t_shp, 1)
+                         + i * bx).astype(dtype),
+                        (lax.broadcasted_iota(jnp.int32, t_shp, 2)
+                         + y0).astype(dtype),
+                        lax.broadcasted_iota(jnp.int32, t_shp,
+                                             3).astype(dtype)]
+                    t_dl = [t_pos[k] - t_iota[k] for k in range(ndim)]
+
+                def wr(ref, val):
+                    if cy is None:
+                        ref[...] = val
+                    else:
+                        ref[:, :, y0:y0 + cy] = val
+
                 if ebw is None:
-                    eb = [jnp.zeros(shp, dtype) for _ in range(6)]
+                    eb = [jnp.zeros(t_shp, dtype) for _ in range(6)]
                 else:
                     taps = [{"g": {o: _m2(o - d) for o in _GOFF},
                              "h": {o: _m2(o + 0.5 - d) for o in _HOFF}}
-                            for d in dl]
+                            for d in t_dl]
                     comps = _COMPS2 if ndim == 2 else _COMPS3
                     eb = []
                     for comp, *stag in comps:
-                        acc = jnp.zeros(shp, dtype)
+                        acc = jnp.zeros(t_shp, dtype)
                         if ndim == 2:
                             for oy, ty in taps[1][stag[1]].items():
                                 for ox, tx in taps[0][stag[0]].items():
@@ -860,53 +956,56 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                             taps[0][stag[0]].items():
                                         f = ebw[comp,
                                                 g + ox:g + ox + bx,
-                                                g + oy:g + oy + other[0],
+                                                g + oy + y0:
+                                                g + oy + y0 + ylen,
                                                 g + oz:g + oz + other[1]]
                                         acc = acc + tx * tyz * f[None]
                         eb.append(acc)
 
+                tux, tuy, tuz = t_u
                 if want_chi:
                     # quantum parameter at the reference's _qed stage
                     # point (inline.py:5-13): post-migration pre-push
                     # momenta + gathered fields at the mid-step position
                     ig0 = jax.lax.rsqrt(
-                        1.0 + ux0 * ux0 + uy0 * uy0 + uz0 * uz0)
+                        1.0 + tux * tux + tuy * tuy + tuz * tuz)
                     gam0 = 1.0 / ig0
                     exp_, eyp_, ezp_, bxp_, byp_, bzp_ = eb
                     cc = jnp.asarray(c_light, dtype)
-                    val = ((gam0 * exp_ + (uy0 * bzp_ - uz0 * byp_) * cc)**2
-                           + (gam0 * eyp_ + (uz0 * bxp_ - ux0 * bzp_) * cc)**2
-                           + (gam0 * ezp_ + (ux0 * byp_ - uy0 * bxp_) * cc)**2
-                           - (ux0 * exp_ + uy0 * eyp_ + uz0 * ezp_)**2)
-                    out_chi[...] = jnp.asarray(_CHI_FACTOR, dtype) \
-                        * jnp.sqrt(jnp.maximum(val, 0.0))
-                    out_ig0[...] = ig0
+                    val = ((gam0 * exp_ + (tuy * bzp_ - tuz * byp_) * cc)**2
+                           + (gam0 * eyp_ + (tuz * bxp_ - tux * bzp_) * cc)**2
+                           + (gam0 * ezp_ + (tux * byp_ - tuy * bxp_) * cc)**2
+                           - (tux * exp_ + tuy * eyp_ + tuz * ezp_)**2)
+                    wr(out_chi, jnp.asarray(_CHI_FACTOR, dtype)
+                       * jnp.sqrt(jnp.maximum(val, 0.0)))
+                    wr(out_ig0, ig0)
 
-                ux4, uy4, uz4, ig2 = _boris(ux0, uy0, uz0, *eb, q, m,
+                ux4, uy4, uz4, ig2 = _boris(tux, tuy, tuz, *eb, q, m,
                                             dt, dtype)
                 u4 = (ux4, uy4, uz4)
-                posn = [pos[k] + (0.5 * cdt[k]) * u4[k] * ig2
+                posn = [t_pos[k] + (0.5 * cdt[k]) * u4[k] * ig2
                         for k in range(ndim)]
                 for k in range(ndim):
-                    out_p[ci[k]][...] = posn[k]
+                    wr(out_p[ci[k]], posn[k])
                 for k in range(3):
-                    out_p[ui[k]][...] = u4[k]
-                out_ig[...] = ig2
+                    wr(out_p[ui[k]], u4[k])
+                wr(out_ig, ig2)
 
                 # --------- Esirkepov deposit ----------------------------
                 # seed the accumulator with the previous species' rims
                 # when chaining (saves the XLA rims_total add across
-                # species)
-                rims_seed()
+                # species); the streamed tail seeds once before strip 0
+                if seed:
+                    rims_seed()
                 v = [u4[k] * ig2 * cdt[k] for k in range(ndim)]
-                dln = [posn[k] - iota[k] for k in range(ndim)]
+                dln = [posn[k] - t_iota[k] for k in range(ndim)]
 
                 if "deposit" in abl:
                     pass
                 elif ndim == 2:
-                    f_cd = jnp.asarray(q / vol, dtype) * w
-                    f_dx = jnp.asarray(q / (deltas[1] * dt), dtype) * w
-                    f_dy = jnp.asarray(q / (deltas[0] * dt), dtype) * w
+                    f_cd = jnp.asarray(q / vol, dtype) * t_w
+                    f_dx = jnp.asarray(q / (deltas[1] * dt), dtype) * t_w
+                    f_dy = jnp.asarray(q / (deltas[0] * dt), dtype) * t_w
                     vz_c = uz4 * ig2 * jnp.asarray(c_light, dtype)
                     cvz = f_cd * vz_c
                     # Support pruning, same exact identities as the 3D
@@ -960,9 +1059,9 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
                                 rmw2(3, ox, oy,
                                      (f_cd * s1x[ox] * s1y[oy]).sum(0))
                 else:
-                    f_cd = jnp.asarray(q / vol, dtype) * w
-                    fd = [jnp.asarray(q / (vol / deltas[k]) / dt, dtype) * w
-                          for k in range(3)]
+                    f_cd = jnp.asarray(q / vol, dtype) * t_w
+                    fd = [jnp.asarray(q / (vol / deltas[k]) / dt, dtype)
+                          * t_w for k in range(3)]
 
                     # Support pruning (exact identities, value-preserving):
                     # (1) the S0 endpoint sits within +-0.5 of its cell
@@ -999,7 +1098,7 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
 
                     dy_, vy_ = dln[1], v[1]
                     dz_, vz_ = dln[2], v[2]
-                    ny, nz = other
+                    ny, nz = ylen, other[1]
 
                     # z-tap dictionaries: hoisting them out of the oy loop
                     # saves ~16% of the deposit-phase VPU ops but keeps ~18
@@ -1063,10 +1162,11 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
 
                             def rmw(comp, ox, val):
                                 cur = out_rims[comp, 0, 2 + ox:2 + ox + bx,
-                                               g + oy:g + oy + ny,
+                                               g + oy + y0:
+                                               g + oy + y0 + ny,
                                                g + oz:g + oz + nz]
                                 out_rims[comp, 0, 2 + ox:2 + ox + bx,
-                                         g + oy:g + oy + ny,
+                                         g + oy + y0:g + oy + y0 + ny,
                                          g + oz:g + oz + nz] = cur + val
 
                             for ox in RUNF:
@@ -1401,7 +1501,19 @@ def unified_cell_step(eb_pad, alive8, ig, data: Dict[str, jnp.ndarray],
 
             frozen_ok = (_skips_enabled() and not abl and not with_rho
                          and ebw is not None)
-            tail_fn = particle_tail_rows if rows_mode else particle_tail
+            if rows_mode:
+                tail_fn = particle_tail_rows
+            elif stream_ns > 1:
+                def tail_fn():
+                    # streamed-tap tail: seed the rims once, then run
+                    # the gather+Boris+deposit strip by strip (static
+                    # offsets; liveness bounded by one strip)
+                    rims_seed()
+                    cyv = other[0] // stream_ns
+                    for s_ in range(stream_ns):
+                        particle_tail(s_ * cyv, cyv, seed=False)
+            else:
+                tail_fn = particle_tail
             if not frozen_ok:
                 tail_fn()
             else:
@@ -1817,6 +1929,44 @@ def fold_pallas_enabled() -> bool:
     return os.environ.get("LAMBDAPIC_FOLD_PALLAS", "1") != "0"
 
 
+def _fold_K(nx, b, C, pads, nloc, item):
+    """Panels per output block for fold_reduce_slab. Scoped-VMEM
+    budget: K+2 double-buffered panel refs + the output block +
+    accumulator/concat temporaries of the padded block width; the
+    64 MB scoped limit is hit near 2x this estimate, so budget
+    conservatively (3D bench at K=8 measured 71.75M > 64M; K=4
+    fits)."""
+    import numpy as _np
+    bp4 = b + 4
+    panel_b = C * bp4 * int(_np.prod(pads, dtype=_np.int64)) * item
+    acc_row = C * int(_np.prod(pads, dtype=_np.int64)) * item
+    extra = -(-2 // b)
+
+    def _vmem_est(k):
+        return ((k + 2 * extra) * panel_b * 2  # double-buffered panels
+                + C * k * b * int(_np.prod(nloc[1:], dtype=_np.int64))
+                * item                          # output block
+                + 4 * k * b * acc_row)          # acc + concat temps
+
+    K = max(1, 16 // b)
+    while nx % (K * b) or (K > 1 and _vmem_est(K) > 32 * 2**20):
+        K -= 1
+    return K
+
+
+def fold_slab_supported(nloc, g: int, cap_c: int = 4,
+                        itemsize: int = 4) -> bool:
+    """fold_reduce_slab's edge-strip add assumes >= 2 interior rows per
+    output block (K*b >= 2). With b == 1 and an nx with no small even
+    divisor (e.g. odd nx), K collapses to 1 — the caller must fall back
+    to the _fold_cfirst + halo_reduce path then."""
+    ndim = len(nloc)
+    b = slab_bx(nloc[0], ndim)
+    pads = tuple(n + 2 * g for n in nloc[1:])
+    K = _fold_K(nloc[0], b, cap_c, pads, nloc, itemsize)
+    return K * b >= 2
+
+
 def fold_reduce_slab(rims, *, nloc, g: int, spec0, periodic):
     """Fold species-summed slab rim panels (4, nbx, b+4, ny+2g[, nz+2g])
     straight into the INTERIOR current (4, *nloc) in one Pallas pass —
@@ -1841,33 +1991,18 @@ def fold_reduce_slab(rims, *, nloc, g: int, spec0, periodic):
     b = bp4 - 4
     pads = rims.shape[3:]
     dtype = rims.dtype
-    # K panels per output block. Scoped-VMEM budget: K+2 double-buffered
-    # panel refs + the output block + accumulator/concat temporaries of
-    # the padded block width; the 64 MB scoped limit is hit near 2x this
-    # estimate, so budget conservatively (3D bench at K=8 measured
-    # 71.75M > 64M; K=4 fits).
-    import numpy as _np
-    item = dtype.itemsize
-    panel_b = C * bp4 * int(_np.prod(pads, dtype=_np.int64)) * item
-    acc_row = C * int(_np.prod(pads, dtype=_np.int64)) * item
+    K = _fold_K(nx, b, C, pads, nloc, dtype.itemsize)
+    # the edge-strip concat below needs >= 2 interior rows per output
+    # block; callers gate on fold_slab_supported, which guarantees it
+    assert K * b >= 2, (K, b)
+    bxo = K * b
+    nbo = nx // bxo
 
     # a rim panel reaches 2 rows beyond its block on each side, so a
     # K-panel output group overlaps ceil(2/b) extra panels per side
     # (1 for b>=2, 2 for b=1 slabs)
     extra = -(-2 // b)
     P = lambda k: k + 2 * extra
-
-    def _vmem_est(k):
-        return (P(k) * panel_b * 2             # double-buffered panels
-                + C * k * b * int(_np.prod(nloc[1:], dtype=_np.int64))
-                * item                          # output block
-                + 4 * k * b * acc_row)          # acc + concat temps
-
-    K = max(1, 16 // b)
-    while nx % (K * b) or (K > 1 and _vmem_est(K) > 32 * 2**20):
-        K -= 1
-    bxo = K * b
-    nbo = nx // bxo
 
     # x-guard strips -> neighbor interiors (halo_reduce's x exchange);
     # ppermute is the identity at size 1

@@ -262,8 +262,11 @@ class StepBuilder:
         nloc = (grid.nx_loc, grid.ny_loc, grid.nz_loc)[:ndim]
 
         def red(rims):
-            from ..ops.cellslab import fold_pallas_enabled, fold_reduce_slab
-            if fold_pallas_enabled():
+            from ..ops.cellslab import (fold_pallas_enabled,
+                                        fold_reduce_slab,
+                                        fold_slab_supported)
+            if fold_pallas_enabled() and fold_slab_supported(
+                    nloc, g, rims.shape[0], rims.dtype.itemsize):
                 return fold_reduce_slab(
                     rims, nloc=nloc, g=g, spec0=specs[0],
                     periodic=tuple(s.periodic for s in specs))

@@ -38,6 +38,32 @@ import gc
 
 import pytest
 
+# Default test profile (round-4 verdict #6: the full 239-test serial run
+# exceeds 90 min on this 1-core host once a round of kernel-source
+# changes invalidates the interpret-mode compile caches). The modules
+# below compile multi-minute interpret-mode Pallas kernels and are
+# auto-marked `slow`; pytest.ini deselects `slow` by default.
+#
+#   pytest                     fast profile (default, < ~25 min warm)
+#   pytest -m slow             the kernel-parity / long integration set
+#   pytest -m ""               everything (CI-style full run)
+_SLOW_KERNEL_MODULES = (
+    "test_cellslab.py", "test_cellslab_skips.py", "test_cellpallas.py",
+    "test_fieldspallas.py", "test_tiled_pallas.py", "test_cpml_slab.py",
+    "test_mig_fused.py",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        p = str(item.fspath)
+        if any(p.endswith(m) for m in _SLOW_KERNEL_MODULES):
+            item.add_marker(pytest.mark.slow)
+        # pallas-backend parametrizations elsewhere also compile the
+        # interpret-mode kernels
+        elif "pallas" in item.name and "tiled_parity" in p:
+            item.add_marker(pytest.mark.slow)
+
 
 def pytest_xdist_auto_num_workers(config):
     """-n auto budget: each worker runs an 8-virtual-device XLA client

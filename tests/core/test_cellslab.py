@@ -600,3 +600,24 @@ def test_slab_3d_multidispatch_yzsplit():
         pytest.skip("needs >=8 devices")
     _compare(3, mesh_shape=(2, 2, 2), seed=7, cells=(8, 8, 8),
              periodic=True)
+
+
+def test_slab_3d_streamed(monkeypatch):
+    """Streamed-tap tail (LAMBDAPIC_SLAB_STREAM=2): gather+Boris+
+    deposit run per static y-strip. Slot-for-slot and current parity
+    with the per-stage pipeline, including particles whose stencil
+    reaches across the strip boundary."""
+    monkeypatch.setenv("LAMBDAPIC_SLAB_STREAM", "2")
+    _compare(3, seed=2)
+
+
+def test_slab_3d_streamed_open(monkeypatch):
+    monkeypatch.setenv("LAMBDAPIC_SLAB_STREAM", "4")
+    _compare(3, periodic=False, seed=3, cells=(8, 16, 8))
+
+
+def test_slab_3d_streamed_qed_chi(monkeypatch):
+    """chi/ig_pre outputs written per strip must equal the unstreamed
+    kernel's."""
+    monkeypatch.setenv("LAMBDAPIC_SLAB_STREAM", "2")
+    test_slab_qed_chi_matches_split()
