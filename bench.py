@@ -524,27 +524,28 @@ def record_mode(args):
             a.steps = None
         run_phase("3d-ppc2", _ph1, min_remaining=60, promote="always")
 
-        # phases 2-3: occupancy-scaled 3D -- ppc 4 and ppc 6/species
-        # (2-3x the particle count, i.e. a better-resolved workload).
+        # phases 2-3: occupancy-scaled 3D -- ppc 8 then ppc 6/species
+        # (3-4x the particle count, i.e. a better-resolved workload).
         # Pushes/s is a throughput metric and occupancy is its biggest
         # lever (the stencil work amortizes over the slots of a cell):
-        # measured 702-708 vs 437 Mpush/s on one v5e. Each replaces the
-        # record only when faster, so the banked number never
-        # regresses.
-        os.environ.setdefault("LAMBDAPIC_SLAB_VMEM_MB", "117")
-
-        def _ph2(a):
-            a.config = "laser-target-3d"
-            a.ppc, a.capacity_factor, a.steps = 16, 1.2, None
-        r2 = run_phase("3d-ppc4", _ph2, min_remaining=100,
-                       promote="faster")
-        if r2 is not None and "[ppc" not in r2["metric"]:
-            r2["metric"] += " [ppc 4/species]"
-
-        # cap 8 slabs only fit VMEM at bx=1 without deposit streaming
-        # (cap 10 measured 127.99M scoped stack vs the 120M limit)
+        # round-5 measured 815 (ppc 8, cap 10/bx 1/stream 2/perm-merge)
+        # vs 708 (ppc 6) vs 437 (ppc 2) Mpush/s on one v5e. Each
+        # replaces the record only when faster, so the banked number
+        # never regresses; the expected-best runs first so a tight
+        # deadline banks it. cap 10 slabs need bx=1 + 2-strip streamed
+        # tail + perm-merge to fit VMEM (docs/BENCH_LOCAL.md round 5).
         try:
             os.environ["LAMBDAPIC_SLAB_BX"] = "1"
+            os.environ["LAMBDAPIC_SLAB_STREAM"] = "2"
+            os.environ.setdefault("LAMBDAPIC_SLAB_VMEM_MB", "140")
+
+            def _ph2(a):
+                a.config = "laser-target-3d"
+                a.ppc, a.capacity_factor, a.steps = 32, 1.2, None
+            r2 = run_phase("3d-ppc8", _ph2, min_remaining=120,
+                           promote="faster")
+            if r2 is not None and "[ppc" not in r2["metric"]:
+                r2["metric"] += " [ppc 8/species]"
 
             def _ph3(a):
                 a.config = "laser-target-3d"
@@ -555,6 +556,7 @@ def record_mode(args):
                 r3["metric"] += " [ppc 6/species]"
         finally:
             os.environ.pop("LAMBDAPIC_SLAB_BX", None)
+            os.environ.pop("LAMBDAPIC_SLAB_STREAM", None)
             os.environ.pop("LAMBDAPIC_SLAB_VMEM_MB", None)
 
         # phase 5: 2D laser-target -- extra only

@@ -501,18 +501,43 @@ class Collision:
                              1.0 / jnp.maximum(fl, 1)).astype(dtype)
 
         def sub_pass(rkey, r, mom_big, mom_sml, w_big, w_sml, rank_big,
-                     rank_sml, n_big, n_sml, big_first, mq_big, mq_sml):
+                     rank_sml, n_big, n_sml, big_first, mq_big, mq_sml,
+                     identity=False):
             """One round's pass over the big side's slot rows. Active in
             cells where the big side is at least as large as (strictly
-            larger than, for the B pass) the small side."""
+            larger than, for the B pass) the small side.
+
+            ``identity``: round-0 shortcut — sr = rank_big - 0*n_sml is
+            the row index itself, so the partner lookup is a plain
+            row-for-row read (and the reverse scatter its transpose):
+            no O(cap^2) one-hot sums. Profiled on the 2D bench
+            (docs round 5): the inter-species while body was 25.9 of
+            the 52.4 ms device step, and in equal-density cells
+            max_rounds == 1 — unrolling round 0 this way empties the
+            while loop for the common case."""
             cmp_ok = (n_big >= n_sml) if big_first else (n_big > n_sml)
             sr = rank_big - r * n_sml[None]
             act = (cmp_ok & (n_sml > 0))[None] & (sr >= 0) \
                 & (sr < n_sml[None]) & (rank_big < n_big[None])
             srbesc = jnp.maximum(sr, 0)
             # partner values of the small side at per-cell rank sr
-            s_ux, s_uy, s_uz, s_ig, s_w = [
-                _take_rank(a, srbesc) for a in (*mom_sml, w_sml)]
+            cap_b = rank_big.shape[0]
+            cap_s = rank_sml.shape[0]
+
+            def row_match(a):
+                # rows beyond the small side's cap are never active
+                # (act requires sr < n_sml <= cap_s)
+                if cap_b <= cap_s:
+                    return a[:cap_b]
+                pad = jnp.zeros((cap_b - cap_s,) + a.shape[1:], a.dtype)
+                return jnp.concatenate([a, pad], axis=0)
+
+            if identity:
+                s_ux, s_uy, s_uz, s_ig, s_w = [
+                    row_match(a) for a in (*mom_sml, w_sml)]
+            else:
+                s_ux, s_uy, s_uz, s_ig, s_w = [
+                    _take_rank(a, srbesc) for a in (*mom_sml, w_sml)]
             wc = w_corr_of(srbesc, n_big[None], jnp.maximum(n_sml, 1)[None])
             dt_corr = n_big.astype(dtype)[None]
             shp = mom_big[0].shape
@@ -535,13 +560,40 @@ class Collision:
             idxS = rank_sml + r * n_sml[None]
             actS = (cmp_ok & (n_sml > 0))[None] & (rank_sml < n_sml[None]) \
                 & (idxS < n_big[None])
-            mom_sml = tuple(
-                jnp.where(actS, _take_rank(nv, idxS), a)
-                for a, nv in zip(mom_sml, new_s))
+            if identity:
+                # transpose of the row-for-row read above
+                def row_match_s(nv):
+                    if cap_s <= cap_b:
+                        return nv[:cap_s]
+                    pad = jnp.zeros((cap_s - cap_b,) + nv.shape[1:],
+                                    nv.dtype)
+                    return jnp.concatenate([nv, pad], axis=0)
+                mom_sml = tuple(
+                    jnp.where(actS, row_match_s(nv), a)
+                    for a, nv in zip(mom_sml, new_s))
+            else:
+                mom_sml = tuple(
+                    jnp.where(actS, _take_rank(nv, idxS), a)
+                    for a, nv in zip(mom_sml, new_s))
             return mom_big, mom_sml
 
         mom1 = tuple(v1["mom"])
         mom2 = tuple(v2["mom"])
+
+        # round 0 unrolled with the identity partner mapping (sr =
+        # rank): no one-hot rank lookups, and — since equal-density
+        # cells have rounds_c == 1 — the while loop below is empty for
+        # the common case. Key derivation matches the loop form
+        # bitwise (fold_in(key, 0) + split), so the sampled physics is
+        # unchanged.
+        k0 = jax.random.fold_in(key, 0)
+        kA0, kB0 = jax.random.split(k0)
+        mom1, mom2 = sub_pass(kA0, 0, mom1, mom2, w1, w2, rank1, rank2,
+                              n1, n2, True, (m1, q1), (m2, q2),
+                              identity=True)
+        mom2, mom1 = sub_pass(kB0, 0, mom2, mom1, w2, w1, rank2, rank1,
+                              n2, n1, False, (m2, q2), (m1, q1),
+                              identity=True)
 
         def body(carry):
             r, mom1, mom2 = carry
@@ -555,7 +607,7 @@ class Collision:
 
         _, mom1, mom2 = jax.lax.while_loop(
             lambda cr: cr[0] < max_rounds, body,
-            (jnp.int32(0), mom1, mom2))
+            (jnp.int32(1), mom1, mom2))
         v1["mom"] = list(mom1)
         v2["mom"] = list(mom2)
 

@@ -200,17 +200,57 @@ def _total_rate(chi, tb: _Tables):
     return jnp.where(log_chi >= lo_cut, rate, 0.0)
 
 
+def _cheb_basis(x, n):
+    """[T_0(x) .. T_{n-1}(x)] by the three-term recurrence."""
+    ts = [jnp.ones_like(x), x]
+    for _ in range(2, n):
+        ts.append(2 * x * ts[-1] - ts[-2])
+    return ts[:n]
+
+
 def _sample_delta(chi, r01, tb: _Tables):
     """Sample the energy fraction delta from the Chebyshev inverse-CDF
     surrogate (gather-free; see _Tables docstring): delta =
-    F^-1(log_chi, r) with arcsine-warped r for edge resolution."""
+    F^-1(log_chi, r) with arcsine-warped r for edge resolution.
+
+    Evaluated as a tensor-product basis sum sum_km C[k,m] T_k(cc)
+    T_m(w) — the two basis recurrences plus one scalar-coefficient MAC
+    per (k,m) — instead of nested Clenshaw (3 ops per coefficient).
+    At the (17, 33) fit this is ~680 vs ~1750 ops per particle; the
+    dense per-slot sampler was the QED step's single largest fusion
+    (7.4 of 21.2 ms/step, round-5 device trace in docs/BENCH_LOCAL.md).
+    Same polynomial, reassociated (fp-level differences only;
+    tests/core/test_qed_cheb.py bounds the surrogate against the
+    reference tables either way). LAMBDAPIC_QED_CHEB_EVAL=clenshaw
+    restores the nested form."""
+    import os
     log_chi = jnp.log10(jnp.maximum(chi, 1e-30))
     cc = jnp.clip(2 * (log_chi - tb.inv_c0)
                   / (tb.log_chi_max - tb.inv_c0) - 1, -1.0, 1.0)
     w = jnp.arcsin(2 * jnp.clip(r01, 0.0, 1.0) - 1) / (jnp.pi / 2)
-    a_rows = [_clenshaw(w, tb.inv_coef[k])
-              for k in range(tb.inv_coef.shape[0])]
-    val = _clenshaw(cc, a_rows)
+    K, M = tb.inv_coef.shape
+    if os.environ.get("LAMBDAPIC_QED_CHEB_EVAL", "basis") == "clenshaw":
+        a_rows = [_clenshaw(w, tb.inv_coef[k]) for k in range(K)]
+        val = _clenshaw(cc, a_rows)
+    else:
+        tw = _cheb_basis(w, M)
+        tc = _cheb_basis(cc, K)
+        coef = np.asarray(tb.inv_coef)
+        val = None
+        for k in range(K):
+            row = None
+            for m in range(M):
+                c_km = float(coef[k, m])
+                if c_km == 0.0:
+                    continue
+                t = c_km * tw[m]
+                row = t if row is None else row + t
+            if row is None:
+                continue
+            t = tc[k] * row
+            val = t if val is None else val + t
+        if val is None:
+            val = jnp.zeros_like(w)
     if tb.inv_log_space:
         return jnp.power(10.0, jnp.minimum(val, 0.0))
     return jnp.clip(val, 10.0 ** tb.log_delta_min, 1.0)

@@ -192,11 +192,20 @@ def slab_ok(nloc: Tuple[int, ...], cap: int,
     refs = (26 + 2 * extra_arrays) * blk   # in+out, double-buffered
     est = live * blk + refs + 3 * slab
     if ndim == 3 and bx == 1:
-        # measured calibration: cap 10 / bx 1 / 128^3 compiles to a
-        # 127.99M scoped-vmem stack vs a 77M estimate — the neighbor
-        # window and tap live set do not shrink with bx, so the
-        # per-blk model under-counts at bx=1
-        est = int(est * 1.7)
+        # measured calibration at bx=1 (128^3): without the round-5
+        # levers, cap 10 compiles to a 127.99M scoped-vmem stack vs a
+        # 77M estimate — the neighbor window and tap live set do not
+        # shrink with bx, so the per-blk model under-counts. With the
+        # permutation-replay merge + a >=2-strip streamed tail the
+        # measured anchors move: cap 10 fits the 128M device limit
+        # (est*1.15 = 96M vs a 100M default budget -> accept) while
+        # cap 12 compiles only with throughput-killing register spills
+        # (252 vs 815 Mpush/s, round-5 probes) -> reject.
+        ns = slab_stream(3, cap, nloc)
+        if perm_merge_enabled(True) and ns >= 2:
+            est = int(est * 1.15)
+        else:
+            est = int(est * 1.7)
     budget = _env_int("LAMBDAPIC_SLAB_VMEM_MB", 100) * 1024 * 1024
     return est <= budget
 
@@ -316,6 +325,38 @@ def _shift(row, strip_lo, strip_hi, axis):
     return lo, hi
 
 
+def _apply_perm(perm_rows, in_rows):
+    """Replay a key-sort's permutation on one payload's rows: output row
+    a = in_rows[perm[a]] as a cap-deep where-chain. Same values the
+    all-payload Batcher pass produces (swaps compare keys strictly, so
+    the permutation fully determines payload movement), but only ONE
+    payload's rows are in flight at a time — the round-5 merge-liveness
+    fix (the merge phase was the binding scoped-VMEM consumer at
+    cap 10: probe logs in docs/BENCH_LOCAL.md)."""
+    cap = len(in_rows)
+    out = []
+    for a in range(cap):
+        acc = in_rows[0]
+        for j in range(1, cap):
+            acc = jnp.where(perm_rows[a] == j, in_rows[j], acc)
+        out.append(acc)
+    return out
+
+
+def perm_merge_enabled(is3d: bool) -> bool:
+    """Default: on in 3D (the merge's sorted-payload copies are the
+    binding scoped-VMEM allocation there — cap 10/bx 1 went from a
+    129.06M reject to compiling, docs/BENCH_LOCAL.md round 5), off in
+    2D (cap 16 makes the cap^2 replay ~2x the pruned Batcher's row
+    ops and the 2D kernel has VMEM headroom anyway).
+    LAMBDAPIC_SLAB_PERM_MERGE=1/0 forces either way."""
+    import os
+    v = os.environ.get("LAMBDAPIC_SLAB_PERM_MERGE", "auto")
+    if v == "auto":
+        return is3d
+    return v != "0"
+
+
 def _merge_axis(ces, axis, keys, pays, skeys_lo, spays_lo, skeys_hi,
                 spays_hi, merge_idx, n_merged):
     """One re-binning axis on row values: sort, ±1 shift, overwrite-merge.
@@ -324,7 +365,17 @@ def _merge_axis(ces, axis, keys, pays, skeys_lo, spays_lo, skeys_hi,
     ops/cell2d.py::migrate_cells). pays: list-of-lists [payload][slot].
     skeys/spays: strip rows, one column wide along ``axis`` (raw;
     sorted here alongside).
-    Returns (alive_rows, pays_out, n_merged)."""
+    Returns (alive_rows, pays_out, n_merged).
+
+    Default path sorts (key, slot-index) only and replays the
+    permutation per payload (_apply_perm) — value-identical to the
+    legacy all-payload Batcher (LAMBDAPIC_SLAB_PERM_MERGE=0) with a
+    ~n_pay-fold smaller sorted-copy live set and fewer row ops at
+    cap >= 8 (cap^2-1 selects/payload vs ~2x the CE count)."""
+    if perm_merge_enabled(is3d=keys[0].ndim >= 4):
+        return _merge_axis_perm(ces, axis, keys, pays, skeys_lo,
+                                spays_lo, skeys_hi, spays_hi,
+                                merge_idx, n_merged)
     rk, rv = _sort_rows(ces, keys, pays)
     slk, slv = _sort_rows(ces, skeys_lo, spays_lo)
     shk, shv = _sort_rows(ces, skeys_hi, spays_hi)
@@ -368,6 +419,78 @@ def _merge_axis(ces, axis, keys, pays, skeys_lo, spays_lo, skeys_hi,
                 sel = jnp.where(multi, mg.astype(sel.dtype), sel)
             out_rows[p].append(sel)
         alive_rows.append(alive_new)
+    return alive_rows, out_rows, n_merged
+
+
+def _merge_axis_perm(ces, axis, keys, pays, skeys_lo, spays_lo,
+                     skeys_hi, spays_hi, merge_idx, n_merged):
+    """Permutation-replay form of _merge_axis (see its docstring):
+    sort (key, slot-index) rows, derive the per-slot masks and merge
+    weights once, then move each payload through the permutation + the
+    ±1 shift + overwrite-merge independently."""
+    cap = len(keys)
+    n_pay = len(pays)
+    w_i = merge_idx[0] if merge_idx else -1
+    iota_m = [jnp.full_like(keys[0], a) for a in range(cap)]
+    iota_s = [jnp.full_like(skeys_lo[0], a) for a in range(cap)]
+    rk, (pidx,) = _sort_rows(ces, keys, [iota_m])
+    slk, (sidx_lo,) = _sort_rows(ces, skeys_lo, [iota_s])
+    shk, (sidx_hi,) = _sort_rows(ces, skeys_hi, [iota_s])
+
+    alive_rows, val_lo_l, val_hi_l, stay_l, multi_l = [], [], [], [], []
+    for a in range(cap):
+        lo_k, hi_k = _shift(rk[a], slk[a], shk[a], axis)
+        val_lo = lo_k == 0
+        val_hi = hi_k == 4
+        stay = rk[a] == 2
+        alive_rows.append(val_lo | val_hi | stay)
+        n_src = (val_lo.astype(jnp.int32) + val_hi.astype(jnp.int32)
+                 + stay.astype(jnp.int32))
+        multi_l.append(n_src >= 2)
+        n_merged = n_merged + jnp.sum(
+            jnp.maximum(n_src - 1, 0)).astype(jnp.int32)
+        val_lo_l.append(val_lo)
+        val_hi_l.append(val_hi)
+        stay_l.append(stay)
+
+    w_lo_l = w_hi_l = w_res_l = wsum_l = wsafe_l = None
+    if merge_idx:
+        wm = _apply_perm(pidx, pays[w_i])
+        wl = _apply_perm(sidx_lo, spays_lo[w_i])
+        wh = _apply_perm(sidx_hi, spays_hi[w_i])
+        w_lo_l, w_hi_l, w_res_l, wsum_l, wsafe_l = [], [], [], [], []
+        for a in range(cap):
+            w_lo_f, w_hi_f = _shift(wm[a], wl[a], wh[a], axis)
+            w_lo = jnp.where(val_lo_l[a], w_lo_f, 0.0)
+            w_hi = jnp.where(val_hi_l[a], w_hi_f, 0.0)
+            w_res = jnp.where(stay_l[a], wm[a], 0.0)
+            wsum = w_lo + w_hi + w_res
+            wsafe = jnp.maximum(wsum, jnp.asarray(
+                1e-300 if wsum.dtype == jnp.float64 else 1e-30,
+                wsum.dtype))
+            w_lo_l.append(w_lo)
+            w_hi_l.append(w_hi)
+            w_res_l.append(w_res)
+            wsum_l.append(wsum)
+            wsafe_l.append(wsafe)
+
+    out_rows = [[] for _ in range(n_pay)]
+    for p in range(n_pay):
+        rp = _apply_perm(pidx, pays[p])
+        lp = _apply_perm(sidx_lo, spays_lo[p])
+        hp = _apply_perm(sidx_hi, spays_hi[p])
+        for a in range(cap):
+            lo_v, hi_v = _shift(rp[a], lp[a], hp[a], axis)
+            sel = jnp.where(val_lo_l[a], lo_v,
+                            jnp.where(val_hi_l[a], hi_v, rp[a]))
+            if merge_idx and p in merge_idx:
+                if p == w_i:
+                    mg = wsum_l[a]
+                else:
+                    mg = (w_lo_l[a] * lo_v + w_hi_l[a] * hi_v
+                          + w_res_l[a] * rp[a]) / wsafe_l[a]
+                sel = jnp.where(multi_l[a], mg.astype(sel.dtype), sel)
+            out_rows[p].append(sel)
     return alive_rows, out_rows, n_merged
 
 
