@@ -518,11 +518,26 @@ def record_mode(args):
     if cache_warm:
         # phase 1: the 3D headline config, FIRST (auto chunking
         # resolves to per-step dispatch in 3D -> one step-kernel
-        # compile)
-        def _ph1(a):
-            a.config = "laser-target-3d"
-            a.steps = None
-        run_phase("3d-ppc2", _ph1, min_remaining=60, promote="always")
+        # compile). bx=4 slabs (quartered neighbor-column/field-window
+        # read redundancy) fit VMEM at cap 4 once the chained rims_in
+        # window is dropped (probe: 474.9 vs 448 Mpush/s at bx 2;
+        # docs/BENCH_LOCAL.md round 5)
+        try:
+            os.environ["LAMBDAPIC_SLAB_BX"] = "4"
+            os.environ["LAMBDAPIC_SLAB_STREAM"] = "4"
+            os.environ["LAMBDAPIC_SLAB_CHAIN_RIMS"] = "0"
+            os.environ.setdefault("LAMBDAPIC_SLAB_VMEM_MB", "140")
+
+            def _ph1(a):
+                a.config = "laser-target-3d"
+                a.steps = None
+            run_phase("3d-ppc2", _ph1, min_remaining=60,
+                      promote="always")
+        finally:
+            for _k in ("LAMBDAPIC_SLAB_BX", "LAMBDAPIC_SLAB_STREAM",
+                       "LAMBDAPIC_SLAB_CHAIN_RIMS",
+                       "LAMBDAPIC_SLAB_VMEM_MB"):
+                os.environ.pop(_k, None)
 
         # phases 2-3: occupancy-scaled 3D -- ppc 8 then ppc 6/species
         # (3-4x the particle count, i.e. a better-resolved workload).

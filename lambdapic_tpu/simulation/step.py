@@ -1444,11 +1444,20 @@ class StepBuilder:
             elif getattr(block, "returns_rims", False):
                 # chain the running rim panels through the slab kernel:
                 # it seeds its deposit accumulator with them, so the
-                # cross-species rims sum costs no separate XLA add
+                # cross-species rims sum costs no separate XLA add.
+                # LAMBDAPIC_SLAB_CHAIN_RIMS=0 sums in XLA instead —
+                # the chained rims_in ref costs a double-buffered
+                # window (~8 MB scoped VMEM at 128^3), which is the
+                # margin when a config sits within ~1 MB of the limit
+                # (bx=4 probes, docs/BENCH_LOCAL.md round 5)
+                import os as _os
+                chain = _os.environ.get("LAMBDAPIC_SLAB_CHAIN_RIMS",
+                                        "1") != "0"
                 pnew, jpad = block(eb_pad, particles[ispec], kspec,
-                                   rims_in=rims_total)
+                                   rims_in=rims_total if chain else None)
                 new_parts.append(pnew)
-                rims_total = jpad
+                rims_total = (jpad if (chain or rims_total is None)
+                              else rims_total + jpad)
             else:
                 pnew, jpad = block(eb_pad, particles[ispec], kspec)
                 new_parts.append(pnew)
