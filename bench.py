@@ -515,30 +515,35 @@ def record_mode(args):
         extra_of()["cold_cache_diagnosis"] = {
             "phase0": p0, "miss_log": _CACHE_LOG["miss"][:6]}
 
-    if cache_warm:
-        # phase 1: the 3D headline config, FIRST (auto chunking
-        # resolves to per-step dispatch in 3D -> one step-kernel
-        # compile). bx=4 slabs (quartered neighbor-column/field-window
-        # read redundancy) fit VMEM at cap 4 once the chained rims_in
-        # window is dropped (probe: 474.9 vs 448 Mpush/s at bx 2;
-        # docs/BENCH_LOCAL.md round 5)
-        try:
-            os.environ["LAMBDAPIC_SLAB_BX"] = "4"
-            os.environ["LAMBDAPIC_SLAB_STREAM"] = "4"
-            os.environ["LAMBDAPIC_SLAB_CHAIN_RIMS"] = "0"
-            os.environ.setdefault("LAMBDAPIC_SLAB_VMEM_MB", "140")
+    # phase 1: the 3D headline config, FIRST (auto chunking resolves
+    # to per-step dispatch in 3D -> one step-kernel compile). It runs
+    # EVEN ON A COLD CACHE: the perm-replay merge cut the 3D kernel's
+    # Mosaic compile to ~2-5 min (round-5 cold regenerations: vacuum
+    # 39-167 s + 3D ppc2 150-287 s), and the watchdog emits the banked
+    # vacuum record at the deadline regardless, so the attempt is
+    # risk-free. bx=4 slabs (quartered neighbor-column/field-window
+    # read redundancy) fit VMEM at cap 4 once the chained rims_in
+    # window is dropped (probe: 474.9 vs 448 Mpush/s at bx 2;
+    # docs/BENCH_LOCAL.md round 5)
+    r1 = None
+    try:
+        os.environ["LAMBDAPIC_SLAB_BX"] = "4"
+        os.environ["LAMBDAPIC_SLAB_STREAM"] = "4"
+        os.environ["LAMBDAPIC_SLAB_CHAIN_RIMS"] = "0"
+        os.environ.setdefault("LAMBDAPIC_SLAB_VMEM_MB", "140")
 
-            def _ph1(a):
-                a.config = "laser-target-3d"
-                a.steps = None
-            run_phase("3d-ppc2", _ph1, min_remaining=60,
-                      promote="always")
-        finally:
-            for _k in ("LAMBDAPIC_SLAB_BX", "LAMBDAPIC_SLAB_STREAM",
-                       "LAMBDAPIC_SLAB_CHAIN_RIMS",
-                       "LAMBDAPIC_SLAB_VMEM_MB"):
-                os.environ.pop(_k, None)
+        def _ph1(a):
+            a.config = "laser-target-3d"
+            a.steps = None
+        r1 = run_phase("3d-ppc2", _ph1, min_remaining=60,
+                       promote="always")
+    finally:
+        for _k in ("LAMBDAPIC_SLAB_BX", "LAMBDAPIC_SLAB_STREAM",
+                   "LAMBDAPIC_SLAB_CHAIN_RIMS",
+                   "LAMBDAPIC_SLAB_VMEM_MB"):
+            os.environ.pop(_k, None)
 
+    if cache_warm or r1 is not None:
         # phases 2-3: occupancy-scaled 3D -- ppc 8 then ppc 6/species
         # (3-4x the particle count, i.e. a better-resolved workload).
         # Pushes/s is a throughput metric and occupancy is its biggest

@@ -204,6 +204,11 @@ def slab_ok(nloc: Tuple[int, ...], cap: int,
         ns = slab_stream(3, cap, nloc)
         if perm_merge_enabled(True) and ns >= 2:
             est = int(est * 1.15)
+            if cap > 10:
+                # measured perf cliff, not a fit limit: cap 12/bx 1
+                # compiles but register-spills to 252 vs 815+ Mpush/s
+                # at cap 10 (round-5 probe) — never auto-select it
+                return False
         else:
             est = int(est * 1.7)
     budget = _env_int("LAMBDAPIC_SLAB_VMEM_MB", 100) * 1024 * 1024

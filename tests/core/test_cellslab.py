@@ -621,3 +621,47 @@ def test_slab_3d_streamed_qed_chi(monkeypatch):
     kernel's."""
     monkeypatch.setenv("LAMBDAPIC_SLAB_STREAM", "2")
     test_slab_qed_chi_matches_split()
+
+
+def test_slab_chain_rims_off(monkeypatch):
+    """LAMBDAPIC_SLAB_CHAIN_RIMS=0 (XLA rims sum instead of chaining
+    the running rims through the kernel) must be physics-identical —
+    the switch exists because the chained ref's double-buffered VMEM
+    window is the margin at bx=4 (docs/BENCH_LOCAL.md round 5)."""
+    monkeypatch.setenv("LAMBDAPIC_SLAB_CHAIN_RIMS", "0")
+    _compare(3, seed=2)
+    test_slab_engages_in_simulation()
+
+
+def test_slab_ok_round5_calibration(monkeypatch):
+    """slab_ok anchors from the round-5 probes: with perm-merge +
+    streamed tail at bx=1, cap 10 fits a 128 MB chip (measured: 890
+    Mpush/s) while cap 12 register-spills to 1/3 the rate and must be
+    rejected."""
+    from lambdapic_tpu.ops.cellslab import slab_ok
+
+    monkeypatch.setenv("LAMBDAPIC_SLAB_BX", "1")
+    monkeypatch.setenv("LAMBDAPIC_SLAB_STREAM", "2")
+    monkeypatch.setenv("LAMBDAPIC_SLAB_VMEM_MB", "140")
+    assert slab_ok((128, 128, 128), 10)
+    assert not slab_ok((128, 128, 128), 12)
+    # legacy merge path keeps the conservative 1.7x model
+    monkeypatch.setenv("LAMBDAPIC_SLAB_PERM_MERGE", "0")
+    assert not slab_ok((128, 128, 128), 12)
+
+
+def test_slab_stream_selection(monkeypatch):
+    """slab_stream: forced values clamp to divisors of ny; auto engages
+    only when the unstreamed tail estimate misses the budget."""
+    from lambdapic_tpu.ops.cellslab import slab_stream
+
+    monkeypatch.setenv("LAMBDAPIC_SLAB_STREAM", "4")
+    assert slab_stream(3, 8, (128, 128, 128)) == 4
+    monkeypatch.setenv("LAMBDAPIC_SLAB_STREAM", "3")
+    assert slab_stream(3, 8, (128, 100, 128)) == 2   # 100 % 3 != 0
+    monkeypatch.setenv("LAMBDAPIC_SLAB_STREAM", "0")
+    monkeypatch.setenv("LAMBDAPIC_SLAB_VMEM_MB", "140")
+    monkeypatch.setenv("LAMBDAPIC_SLAB_BX", "2")
+    # cap 4 / bx 2 fits unstreamed -> stay at 1 (the fastest form)
+    assert slab_stream(3, 4, (128, 128, 128)) == 1
+    assert slab_stream(2, 16, (768, 768)) == 1       # 2D never streams
