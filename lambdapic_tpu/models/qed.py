@@ -302,6 +302,51 @@ def _sample_delta_table(chi, r01, tb: _Tables):
     return jnp.clip(d1 + frac * (d2 - d1), 0.0, 1.0)
 
 
+def _sample_delta_sparse(chi, r01, event, tb: _Tables):
+    """Event-compacted delta sampling for cell layouts (chi of shape
+    (cap, *cells)): compact event slots to the leading K rows per cell
+    with one Batcher pass, evaluate the transcendental-heavy inverse
+    CDF on those K rows only, and unsort by the carried slot index.
+    Cells with more than K events fall back to the dense evaluation
+    via lax.cond, so any K is exact. Round-5 device trace: the dense
+    sampler fusion is 7.0-7.4 of the 21 ms QED step and its cost is
+    per-slot transcendentals, not polynomial degree — sparsity is the
+    lever. K = cap // LAMBDAPIC_QED_SPARSE_K_DIV (default 4, floor 2)."""
+    import os
+    from ..ops.cellpallas import _batcher_network
+    from .collision import _sort_cap
+
+    cap = chi.shape[0]
+    kdiv = int(os.environ.get("LAMBDAPIC_QED_SPARSE_K_DIV", "4") or 4)
+    K = min(cap, max(2, cap // max(kdiv, 1)))
+    n2 = 1
+    while n2 < cap:
+        n2 *= 2
+    ces = _batcher_network(n2, cap)
+    ev_i = event.astype(jnp.int32)
+    n_ev = ev_i.sum(0)
+
+    def dense(_):
+        return jnp.where(event, _sample_delta(chi, r01, tb), 0.0)
+
+    def sparse(_):
+        key = 1 - ev_i                      # event slots first
+        iota = jax.lax.broadcasted_iota(jnp.int32, chi.shape, 0)
+        chi_s, r_s, idx_s = _sort_cap(ces, key,
+                                      [chi, r01,
+                                       iota.astype(chi.dtype)])
+        d_top = _sample_delta(chi_s[:K], r_s[:K], tb)
+        d_full = jnp.concatenate(
+            [d_top, jnp.zeros((cap - K,) + chi.shape[1:], chi.dtype)],
+            axis=0)
+        (d_back,) = _sort_cap(ces, idx_s.astype(jnp.int32), [d_full])
+        return jnp.where(event, d_back, 0.0)
+
+    if K >= cap:
+        return dense(None)
+    return jax.lax.cond(jnp.max(n_ev) <= K, sparse, dense, None)
+
+
 def _update_tau(tau, inv_gamma, chi, alive, dt, keys, tb: _Tables,
                 strict_less: bool, sample_mode: str = "chebyshev"):
     """Optical-depth decrement + event flag (reference
@@ -324,8 +369,15 @@ def _update_tau(tau, inv_gamma, chi, alive, dt, keys, tb: _Tables,
     event = active & crossed
     tau_out = jnp.where(event, -jnp.log1p(-u2), tau_new)
     tau_out = jnp.where(active, tau_out, tau)
-    sampler = _sample_delta_table if table_mode else _sample_delta
-    delta = jnp.where(event, sampler(chi, u3, tb), 0.0)
+    import os
+    sparse_ok = (not table_mode and chi.ndim >= 2
+                 and os.environ.get("LAMBDAPIC_QED_SPARSE_SAMPLE",
+                                    "1") != "0")
+    if sparse_ok:
+        delta = _sample_delta_sparse(chi, u3, event, tb)
+    else:
+        sampler = _sample_delta_table if table_mode else _sample_delta
+        delta = jnp.where(event, sampler(chi, u3, tb), 0.0)
     return tau_out, event, delta
 
 
